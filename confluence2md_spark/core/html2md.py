@@ -1,0 +1,314 @@
+"""HTML → GitHub-flavored-Markdown structural conversion (pandoc subset).
+
+The reference shells out to pandoc (``pandoc -f html -t gfm --wrap=none``,
+/root/reference/converter/markdown.go:64-123, pandoc.go:177-198).  Spawning
+an 85 MB subprocess per document is a non-starter at 10^12-file scale (and
+pandoc is absent in this sandbox), so this module reimplements pandoc's
+*observable behavior on the HTML subset Confluence emits after
+pre-processing* (SURVEY.md §2.F): bare table tags, no spans, attrs reduced
+to class/id/href/src/alt.
+
+Behavior pinned by the reference's own pandoc-oracle assertions:
+``<h1>`` → ``# Title``; ``<strong>`` → ``**bold**``; ``<em>`` → ``*italic*``
+(markdown_test.go:694-731, pandoc_test.go:93-116); ``<a href>`` →
+``[text](url)``; ``<ul><li>`` → ``- item`` (markdown_test.go:27-52);
+``<pre><code>`` → fenced block.
+
+Divergence, documented: pandoc converts every ``<img>`` to ``![alt](src)``;
+we do the same EXCEPT when ``alt`` names a Confluence emoticon (``(tick)``
+etc.) — those are emitted as raw ``<img>`` tags so the post-processing
+emoji map (markdown.go:322-354) applies, which is the reference's intended
+observable behavior per its tests (markdown_test.go:70-111).
+
+Unknown block tags (``div``, ``details`` …) pass through verbatim as raw
+HTML — pandoc's raw-HTML behavior — so the post-processing stage can
+rewrite Confluence macro/expander/panel divs (markdown.go:362-415).
+
+Implementation: stdlib ``html.parser`` → small node tree → renderer.  Pure
+function of its input; no I/O; vectorizes inside pandas UDF batches.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .postmd import EMOJI_REPLACEMENTS
+
+_VOID_TAGS = {"br", "img", "hr", "col", "input", "meta", "link", "area", "base", "embed", "source", "track", "wbr"}
+_DROP_TAGS = {"head", "title", "script", "style"}
+_UNWRAP_TAGS = {"html", "body"}
+_BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "pre",
+    "blockquote", "table", "thead", "tbody", "tr", "th", "td", "hr",
+}
+_LANG_RE = re.compile(r"language-([\w#+-]+)")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "raw")
+
+    def __init__(self, tag: str, attrs=None, raw: str = ""):
+        self.tag = tag  # "" for text nodes
+        self.attrs = dict(attrs or [])
+        self.children: list[_Node] = []
+        self.raw = raw  # verbatim start-tag text (raw passthrough) or text payload
+
+    def text(self) -> str:
+        if self.tag == "":
+            return self.raw
+        return "".join(c.text() for c in self.children)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, attrs, raw=self.get_starttag_text() or "")
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = _Node(tag, attrs, raw=self.get_starttag_text() or "")
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        # Pop to the nearest matching open tag; ignore stray closers.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        self.stack[-1].children.append(_Node("", raw=data))
+
+
+def _parse(html: str) -> _Node:
+    p = _TreeBuilder()
+    p.feed(html)
+    p.close()
+    return p.root
+
+
+_WS_RE = re.compile(r"[ \t\r\n]+")
+
+
+def _collapse_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s)
+
+
+class _Renderer:
+    def render_document(self, root: _Node) -> str:
+        blocks = self._render_blocks(root.children)
+        out = "\n\n".join(b for b in blocks if b.strip() != "")
+        return out + "\n" if out else ""
+
+    # ---- block level -------------------------------------------------
+
+    def _render_blocks(self, children: list[_Node]) -> list[str]:
+        blocks: list[str] = []
+        inline_run: list[_Node] = []
+
+        def flush_inline():
+            if inline_run:
+                txt = _collapse_ws(self._render_inline_nodes(inline_run)).strip()
+                if txt:
+                    blocks.append(txt)
+                inline_run.clear()
+
+        for c in children:
+            if c.tag in _DROP_TAGS:
+                continue
+            if c.tag in _UNWRAP_TAGS:
+                flush_inline()
+                blocks.extend(self._render_blocks(c.children))
+            elif c.tag == "" or self._is_inline(c):
+                inline_run.append(c)
+            else:
+                flush_inline()
+                blocks.extend(self._render_block(c))
+        flush_inline()
+        return blocks
+
+    def _is_inline(self, n: _Node) -> bool:
+        return n.tag not in _BLOCK_TAGS and n.tag not in ("div", "details", "summary", "fieldset", "section", "article", "figure", "ul", "ol")
+
+    def _render_block(self, n: _Node) -> list[str]:
+        t = n.tag
+        if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            level = int(t[1])
+            return ["#" * level + " " + _collapse_ws(self._render_inline_nodes(n.children)).strip()]
+        if t == "p":
+            txt = _collapse_ws(self._render_inline_nodes(n.children)).strip()
+            return [txt] if txt else []
+        if t == "hr":
+            return ["---"]
+        if t == "pre":
+            return [self._render_pre(n)]
+        if t == "blockquote":
+            inner = "\n\n".join(self._render_blocks(n.children))
+            return ["\n".join("> " + line if line else ">" for line in inner.split("\n"))]
+        if t in ("ul", "ol"):
+            return [self._render_list(n)]
+        if t == "table":
+            return [self._render_table(n)]
+        # raw passthrough block (div/details/summary/unknown): keep the
+        # verbatim start tag so post-processing can key on class/id.
+        open_tag = n.raw or f"<{t}>"
+        inner_blocks = self._render_blocks(n.children)
+        parts = [open_tag]
+        parts.extend(inner_blocks)
+        parts.append(f"</{t}>")
+        return ["\n".join(parts)]
+
+    def _render_pre(self, n: _Node) -> str:
+        lang = ""
+        body_node = n
+        for c in n.children:
+            if c.tag == "code":
+                body_node = c
+                m = _LANG_RE.search(c.attrs.get("class", "") or "")
+                if m:
+                    lang = m.group(1)
+                break
+        code = body_node.text().strip("\n")
+        fence = "```"
+        # widen fence if the code itself contains one (pandoc does this too)
+        while fence in code:
+            fence += "`"
+        return f"{fence}{lang}\n{code}\n{fence}"
+
+    def _render_list(self, n: _Node, depth: int = 0) -> str:
+        ordered = n.tag == "ol"
+        lines: list[str] = []
+        idx = 1
+        for li in n.children:
+            if li.tag != "li":
+                continue
+            marker = f"{idx}. " if ordered else "- "
+            idx += 1
+            # split li children into inline content and nested lists
+            inline_nodes: list[_Node] = []
+            sub_parts: list[str] = []
+            for c in li.children:
+                if c.tag in ("ul", "ol"):
+                    sub_parts.append(self._render_list(c, depth + 1))
+                elif c.tag == "p":
+                    inline_nodes.extend(c.children)
+                else:
+                    inline_nodes.append(c)
+            text = _collapse_ws(self._render_inline_nodes(inline_nodes)).strip()
+            indent = "  " * depth
+            lines.append(indent + marker + text)
+            for sp in sub_parts:
+                lines.append(sp)
+        return "\n".join(lines)
+
+    def _render_table(self, n: _Node) -> str:
+        rows: list[list[str]] = []
+        header: list[str] | None = None
+
+        def walk_rows(node: _Node, in_thead: bool):
+            nonlocal header
+            for c in node.children:
+                if c.tag == "thead":
+                    walk_rows(c, True)
+                elif c.tag in ("tbody", "tfoot"):
+                    walk_rows(c, False)
+                elif c.tag == "tr":
+                    cells = [
+                        _collapse_ws(self._render_inline_nodes(cell.children)).strip().replace("|", "\\|")
+                        for cell in c.children
+                        if cell.tag in ("th", "td")
+                    ]
+                    is_header = in_thead or all(cell.tag == "th" for cell in c.children if cell.tag in ("th", "td"))
+                    if header is None and is_header and cells:
+                        header = cells
+                    else:
+                        rows.append(cells)
+
+        walk_rows(n, False)
+        if header is None:
+            if not rows:
+                return ""
+            header = rows.pop(0)
+        width = max([len(header)] + [len(r) for r in rows]) if rows else len(header)
+        header = header + [""] * (width - len(header))
+        out = ["| " + " | ".join(header) + " |", "|" + "|".join(["---"] * width) + "|"]
+        for r in rows:
+            r = r + [""] * (width - len(r))
+            out.append("| " + " | ".join(r) + " |")
+        return "\n".join(out)
+
+    # ---- inline level ------------------------------------------------
+
+    def _render_inline_nodes(self, nodes: list[_Node]) -> str:
+        return "".join(self._render_inline(c) for c in nodes)
+
+    def _render_inline(self, n: _Node) -> str:
+        if n.tag == "":
+            return n.raw
+        t = n.tag
+        if t in ("strong", "b"):
+            inner = self._render_inline_nodes(n.children)
+            return f"**{inner.strip()}**" if inner.strip() else ""
+        if t in ("em", "i"):
+            inner = self._render_inline_nodes(n.children)
+            return f"*{inner.strip()}*" if inner.strip() else ""
+        if t == "code":
+            inner = n.text()
+            return f"`{inner}`" if inner else ""
+        if t in ("s", "del", "strike"):
+            inner = self._render_inline_nodes(n.children)
+            return f"~~{inner.strip()}~~" if inner.strip() else ""
+        if t == "a":
+            href = n.attrs.get("href", "")
+            inner = self._render_inline_nodes(n.children).strip()
+            if not href:
+                return inner
+            return f"[{inner}]({href})"
+        if t == "img":
+            src = n.attrs.get("src", "") or ""
+            alt = n.attrs.get("alt", "") or ""
+            if alt in EMOJI_REPLACEMENTS:
+                # raw tag so postProcess G1 maps it to Unicode (see module doc)
+                return f'<img src="{src}" alt="{alt}" />'
+            if not src:
+                return ""
+            return f"![{alt}]({src})"
+        if t == "br":
+            return "\n"
+        if t in _DROP_TAGS:
+            return ""
+        if t in ("u", "span", "sub", "sup"):
+            # raw passthrough inline (pandoc keeps these as raw HTML in gfm)
+            inner = self._render_inline_nodes(n.children)
+            open_tag = n.raw or f"<{t}>"
+            return f"{open_tag}{inner}</{t}>"
+        # unknown inline tag: unwrap
+        return self._render_inline_nodes(n.children)
+
+
+def html_to_markdown(html: str) -> str:
+    """Convert (pre-processed) HTML to GFM — pandoc-subset semantics."""
+    root = _parse(html)
+    return _Renderer().render_document(root)
+
+
+_TITLE_RE = re.compile(r"<title[^>]*>([\s\S]*?)</title>", re.IGNORECASE)
+_H1_RE = re.compile(r"<h1[^>]*>([\s\S]*?)</h1>", re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_title(html: str) -> str:
+    """Page title: <title> if present, else first <h1> text, else ''."""
+    m = _TITLE_RE.search(html)
+    if not m:
+        m = _H1_RE.search(html)
+    if not m:
+        return ""
+    return _collapse_ws(_TAG_RE.sub("", m.group(1))).strip()

@@ -1,0 +1,159 @@
+"""HTML→GFM converter tests, pinned to the reference's pandoc-oracle
+assertions (/root/reference/converter/markdown_test.go:16-68, 694-805;
+internal/pandoc/pandoc_test.go expectations cited in SURVEY.md §2.F)."""
+
+from confluence2md_spark.core import convert_html_to_markdown, html_to_markdown
+from confluence2md_spark.core.html2md import extract_title
+
+
+def test_basic_heading():
+    assert "# Test Heading" in convert_html_to_markdown("<html><body><h1>Test Heading</h1></body></html>")
+
+
+def test_paragraph():
+    assert "This is a paragraph." in convert_html_to_markdown("<html><body><p>This is a paragraph.</p></body></html>")
+
+
+def test_link():
+    assert "[Example](https://example.com)" in convert_html_to_markdown(
+        '<html><body><a href="https://example.com">Example</a></body></html>'
+    )
+
+
+def test_code_block():
+    assert "func main() {}" in convert_html_to_markdown(
+        "<html><body><pre><code>func main() {}</code></pre></body></html>"
+    )
+
+
+def test_unordered_list():
+    md = convert_html_to_markdown("<html><body><ul><li>Item 1</li><li>Item 2</li></ul></body></html>")
+    assert "- Item 1" in md
+    assert "- Item 2" in md
+
+
+def test_complex_document():
+    # markdown_test.go:694-731
+    html = """<html>
+<body>
+<h1>Document Title</h1>
+<p>Introduction paragraph.</p>
+<h2>Section 1</h2>
+<ul>
+<li>Item 1</li>
+<li>Item 2</li>
+<li>Item 3</li>
+</ul>
+<h2>Section 2</h2>
+<table>
+<tr><th>Header A</th><th>Header B</th></tr>
+<tr><td>Cell 1</td><td>Cell 2</td></tr>
+</table>
+<p>Final paragraph with <strong>bold</strong> and <em>italic</em> text.</p>
+</body>
+</html>"""
+    md = convert_html_to_markdown(html)
+    for want in ["# Document Title", "## Section 1", "- Item 1", "## Section 2", "**bold**", "*italic*"]:
+        assert want in md, f"missing {want!r} in:\n{md}"
+    # table rendered as GFM pipe table
+    assert "| Header A | Header B |" in md
+    assert "| Cell 1 | Cell 2 |" in md
+
+
+def test_expanders_end_to_end():
+    # markdown_test.go:733-758
+    html = """<html><body>
+<div id="expander-1">
+<div id="expander-control-1">
+<span class="expand-control-icon">+</span>
+<span class="expand-control-text">Show More</span>
+</div>
+<div id="expander-content-1">
+<p>Hidden content that can be expanded.</p>
+</div>
+</div>
+</body></html>"""
+    md = convert_html_to_markdown(html)
+    assert "<details>" in md
+    assert "<summary>" in md
+    assert "Show More" in md
+    assert "Hidden content that can be expanded." in md
+    # fuzz invariant: balanced details
+    assert md.count("</details>") <= md.count("<details>")
+
+
+def test_info_macro_end_to_end():
+    # markdown_test.go:760-781
+    html = """<html><body>
+<div class="confluence-information-macro confluence-information-macro-tip">
+<div class="confluence-information-macro-body">
+<p>This is a tip for users.</p>
+</div>
+</div>
+</body></html>"""
+    md = convert_html_to_markdown(html)
+    assert "> **Tip:**" in md
+    assert "This is a tip for users." in md
+
+
+def test_code_block_with_language():
+    # markdown_test.go:783-805
+    html = """<html><body>
+<pre><code class="language-go">package main
+
+func main() {
+    fmt.Println("Hello, World!")
+}
+</code></pre>
+</body></html>"""
+    md = convert_html_to_markdown(html)
+    assert "func main()" in md
+    assert "```go" in md
+
+
+def test_emoticon_img_becomes_emoji():
+    html = '<html><body><p>Done <img class="emoticon" src="tick.png" alt="(tick)" data-emoticon-name="tick"></p></body></html>'
+    md = convert_html_to_markdown(html)
+    assert "✅" in md
+
+
+def test_regular_img_becomes_markdown_image():
+    html = '<html><body><p><img src="shot.png" alt="Screenshot" class="confluence-embedded-image"></p></body></html>'
+    md = convert_html_to_markdown(html)
+    assert "![Screenshot](shot.png)" in md
+
+
+def test_ordered_list():
+    md = html_to_markdown("<ol><li>First</li><li>Second</li></ol>")
+    assert "1. First" in md
+    assert "2. Second" in md
+
+
+def test_nested_list():
+    md = html_to_markdown("<ul><li>Top<ul><li>Nested</li></ul></li></ul>")
+    assert "- Top" in md
+    assert "  - Nested" in md
+
+
+def test_blockquote():
+    md = html_to_markdown("<blockquote><p>Quoted text</p></blockquote>")
+    assert "> Quoted text" in md
+
+
+def test_user_link_display_name_survives():
+    # markdown_test.go:949-963 — only the display name survives conversion
+    html = """<p>Written by <span class="confluence-userlink" data-username="john.doe"><span class="user-name">John Doe</span></span></p>"""
+    md = convert_html_to_markdown(html)
+    assert "John Doe" in md
+    assert "data-username" not in md
+
+
+def test_extract_title():
+    assert extract_title("<html><head><title>Page X</title></head><body><h1>H</h1></body></html>") == "Page X"
+    assert extract_title("<body><h1>Only Heading</h1></body>") == "Only Heading"
+    assert extract_title("<p>nothing</p>") == ""
+
+
+def test_double_encoded_roundtrip():
+    md = convert_html_to_markdown("&lt;h1&gt;Decoded Title&lt;/h1&gt;")
+    assert "# Decoded Title" in md
