@@ -1,0 +1,111 @@
+"""Canonicalization I4/I5 (SURVEY.md §2.I): alias components -> canonical ids,
+triple rewrite, node materialization.
+
+The canonical map is usually tiny relative to the corpus (only pages that
+participate in an alias component appear in it), so the rewrite joins are
+broadcast-eligible — AQE picks broadcast automatically under the session's
+64 MB threshold; at 100 TB the map is still ~0.1% of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .linking import lsh_candidate_pairs
+
+
+def build_canonical_map(pages: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(doc_id, canon_id) for every page; identity where no alias exists.
+
+    Alias edges come from MinHash/LSH over page titles (I2); components from
+    iterative hash-min (I3); canonical id = min doc_id in the component.
+    """
+    ok = pages.filter(F.col("status") == "ok").select("doc_id", "title")
+    # Word-token shingles for titles: char n-grams over-merge short strings
+    # ('Page 1' vs 'Page 10' share ≥80% of 3-grams); token sets only collide
+    # on (near-)identical titles, which is the alias semantics we want.
+    pairs = lsh_candidate_pairs(
+        ok, id_col="doc_id", text_col="title", threshold=threshold, mode="words"
+    )
+    comp = connected_components(pairs)  # (id, component) — only linked pages
+    return (
+        ok.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canon_id"),
+        )
+    )
+
+
+def _canon_node(col, cmap_col):
+    return F.concat(F.lit("page:"), cmap_col.cast("string"))
+
+
+def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Rewrite page-typed subj/obj to canonical page ids; then re-dedup
+    (distinct aliases can collapse onto the same canonical triple)."""
+    subj_map = cmap.select(
+        F.concat(F.lit("page:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(F.lit("page:"), F.col("canon_id").cast("string")).alias("subj_canon"),
+    )
+    obj_map = cmap.select(
+        F.concat(F.lit("page:"), F.col("doc_id").cast("string")).alias("obj"),
+        F.concat(F.lit("page:"), F.col("canon_id").cast("string")).alias("obj_canon"),
+    )
+    t = (
+        triples.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            F.coalesce("subj_canon", F.col("subj")).alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", F.col("obj")).alias("obj"),
+            "subj_type",
+            "obj_type",
+            "doc_id",
+            "repo",
+            "confidence",
+        )
+    )
+    return t.groupBy("subj", "pred", "obj", "subj_type", "obj_type").agg(
+        F.max("confidence").alias("confidence"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.min("repo").alias("repo"),
+    )
+
+
+def build_nodes(pages: DataFrame, cmap: DataFrame, edges: DataFrame) -> DataFrame:
+    """Node table: canonical page nodes with alias sets, plus every non-page
+    node referenced by an edge (user/file/section/url)."""
+    ok = pages.filter(F.col("status") == "ok").select("doc_id", "title", "repo")
+    page_nodes = (
+        ok.join(cmap, "doc_id")
+        .groupBy("canon_id")
+        .agg(
+            F.sort_array(F.collect_set(F.concat(F.lit("page:"), F.col("doc_id").cast("string")))).alias("aliases"),
+            F.min("title").alias("canonical_name"),
+            F.min("repo").alias("repo"),
+        )
+        .select(
+            F.concat(F.lit("page:"), F.col("canon_id").cast("string")).alias("node_id"),
+            F.lit("page").alias("node_type"),
+            "canonical_name",
+            "aliases",
+            "repo",
+        )
+    )
+    obj_nodes = (
+        edges.filter(F.col("obj_type") != "page")
+        .groupBy(F.col("obj").alias("node_id"), F.col("obj_type").alias("node_type"))
+        .agg(F.min("repo").alias("repo"))
+        .select(
+            "node_id",
+            "node_type",
+            F.substring_index("node_id", ":", -1).alias("canonical_name"),
+            F.array().cast("array<string>").alias("aliases"),
+            "repo",
+        )
+    )
+    return page_nodes.unionByName(obj_nodes)

@@ -1,0 +1,110 @@
+"""Entity linking I1/I2 (SURVEY.md §2.I): MinHash/LSH candidate generation +
+exact-Jaccard verification — built as PURE DataFrame ops (no Spark-ML row
+UDFs, no Python): shingle -> xxhash64 -> per-permutation min via higher-order
+array functions, LSH bands exploded to an equi-join key.
+
+Scale notes:
+* the self-join is on (band_idx, band_hash) — an equi key, so Catalyst uses a
+  shuffled hash/sort-merge join; identical titles collide into the same
+  bucket without any all-pairs blowup.
+* permutation constants stay < 2^31 and shingle hashes are folded into
+  [0, 2^31) first, so a*h+b never overflows a long (Spark 4 runs ANSI mode —
+  overflow would throw, not wrap).
+* band hashes over the signature slices use xxhash64 over the array directly
+  (JVM-side, no string round-trip).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = 2_147_483_647  # 2^31 - 1
+
+def _permutations(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(k)]
+
+
+def shingle_hashes_col(text: Column, n: int = 3, mode: str = "chars") -> Column:
+    """Distinct shingles of lower(text), hashed to [0, 2^31) longs.
+
+    mode='chars': character n-grams — right for near-dup prose (documents).
+    mode='words': whitespace tokens — right for SHORT strings like titles,
+    where char n-grams of 'page 1' vs 'page 10' overlap ≥0.8 and would
+    over-merge; token sets only reach high Jaccard on (near-)identical
+    titles.
+    """
+    t = F.lower(text)
+    if mode == "words":
+        shingles = F.array_distinct(F.split(F.trim(t), r"\s+"))
+    else:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+        shingles = F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature_col(hashes: Column, k: int = 32, seed: int = 42) -> Column:
+    """array<long> length-k MinHash signature over a shingle-hash array."""
+    perms = _permutations(k, seed)
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE))))
+            for a, b in perms
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    entities: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "title",
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+    mode: str = "chars",
+) -> DataFrame:
+    """(src, dst, jaccard) pairs with exact Jaccard >= threshold, found via
+    MinHash LSH banding (b=bands, r=k/bands). src < dst."""
+    assert k % bands == 0, "k must be divisible by bands"
+    r = k // bands
+    sigd = entities.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes_col(F.col(text_col), mode=mode).alias("sh"),
+    ).withColumn("sig", minhash_signature_col(F.col("sh"), k=k, seed=seed))
+
+    banded = sigd.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
