@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` = total wall seconds across the headline queries. The KG pipeline
+(the engine's actual product) is benched end-to-end including sink writes;
+its throughput is reported as `triples_per_sec` (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Tile the documents table so the convert stage dominates fixed overheads
+# (sf0.1 ships 5k docs; x8 = 40k MIME documents through the full pipeline).
+REPLICATE = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "8"))
+
+
+def main() -> int:
+    from confluence2md_spark.plans.pipeline import build_kg
+    from confluence2md_spark.session import get_spark
+    from confluence2md_spark.sources.corpus import synth_raw_files
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- KG pipeline end-to-end (detect -> convert -> extract -> link ->
+    #     canonicalize -> materialize), including parquet sinks.
+    wh = tempfile.mkdtemp(prefix="bench_kgwh_")
+    try:
+        raw = synth_raw_files(spark, SF_DIR, replicate=REPLICATE)
+        t0 = time.monotonic()
+        res = build_kg(spark, raw, wh, run_id="bench", num_partitions=int(CPUS) * 2)
+        timings["kg_pipeline"] = round(time.monotonic() - t0, 3)
+        n_triples = res.stage_rows.get("edges", 0)
+        extras["kg_docs"] = res.stage_rows.get("pages", 0)
+        extras["kg_triples"] = n_triples
+        extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
+        extras["kg_stage_wall_s"] = {k: round(v, 2) for k, v in res.stage_wall_s.items()}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    # --- headline analytical queries (each timed to completion).
+    qs = entrymod.queries()
+    headline = [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_nation_revenue",
+        "window_top_order_per_customer",
+        "events_hourly",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_pairs",
+        "ann_brute_topk",
+        "text_token_stats",
+        "text_fingerprint",
+    ]
+    for name in headline:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

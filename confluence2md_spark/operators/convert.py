@@ -117,13 +117,22 @@ def _convert_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def convert_pages(raw_files: DataFrame, prefilter: bool = True) -> DataFrame:
+def convert_pages(
+    raw_files: DataFrame,
+    prefilter: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """raw_files (repo,path,commit,lang,content[,doc_id]) -> pages.
 
     `prefilter=True` applies the cheap JVM-side B1 predicate BEFORE the
     Python stage so non-Confluence rows (the bulk of a source-code corpus)
     never pay the Arrow hop — the reference's dir-mode prefilter
     (main.go:160-175) expressed as Catalyst filter pushdown.
+
+    `num_partitions` repartitions before the Python stage (a small parquet
+    input arrives as one partition and would serialize the UDF onto one
+    core). The pipeline passes None because it pre-balances with
+    salted_repartition (plans/skew.py).
     """
     df = raw_files
     if "doc_id" not in df.columns:
@@ -131,5 +140,7 @@ def convert_pages(raw_files: DataFrame, prefilter: bool = True) -> DataFrame:
         df = df.withColumn("doc_id", F.xxhash64("repo", "path", F.col("commit")))
     if prefilter:
         df = df.filter(is_confluence_mime_col(F.col("content")))
+    if num_partitions:
+        df = df.repartition(num_partitions)
     cols = ["doc_id", "repo", "path", "commit", "content"]
     return df.select(*cols).mapInPandas(_convert_batches, schema=PAGES_SCHEMA)

@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data curation (driver mandate):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale shapes:
+* exact — hash-groupBy; map-side combine, one shuffle on the 64-bit hash
+  (never on the full text — at 100 TB the text never becomes a shuffle key).
+* n-gram Jaccard — blocked all-pairs: self-join on a cheap blocking key
+  (lang, length bucket) keeps the quadratic term inside small blocks.
+* MinHash+LSH — shingle→minhash→band→bucket equi-join (linking.py machinery).
+* SimHash — 64-bit sign-aggregated token hashes (numpy inside a pandas UDF),
+  candidate pairs via 16-bit band blocking, verify by popcount distance.
+* embedding cosine — see similarity.py; near-dup = cosine ≥ τ.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .linking import lsh_candidate_pairs
+
+# ------------------------------------------------------------------ exact --
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row: (n_docs, n_unique, n_dup_docs) by full-content hash."""
+    h = docs.select(F.xxhash64(F.col(text_col)).alias("h"))
+    groups = h.groupBy("h").count()
+    return groups.agg(
+        F.sum("count").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("count") - 1).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min doc_id per distinct text (J10 window dedup);
+    returns survivors-per-lang counts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(text_col).orderBy("doc_id")
+    surv = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return surv.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+
+
+# --------------------------------------------------------- n-gram Jaccard --
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    length_bucket: int = 64,
+) -> DataFrame:
+    """(src, dst, jaccard) for same-block pairs with word-n-gram Jaccard
+    >= threshold. Blocking on (lang, length//bucket) bounds the self-join."""
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(p)  # small parquet arrives as 1 partition
+        .select(
+            F.col("doc_id").alias("id"),
+            "lang",
+            (F.floor(F.length(text_col) / length_bucket)).alias("lb"),
+            _word_ngrams(F.col(text_col), n).alias("grams"),
+        )
+        .repartition(p, "lang", "lb")  # materialize grams once per side
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    jac = F.size(F.array_intersect("a.grams", "b.grams")) / F.size(
+        F.array_union("a.grams", "b.grams")
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql_duck(
+    docs: str = "documents", n: int = 3, threshold: float = 0.2, length_bucket: int = 64
+) -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    grams = (
+        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')))"
+    )
+    return f"""WITH base AS (
+  SELECT doc_id AS id, lang, CAST(floor(length(text) / {length_bucket}) AS BIGINT) AS lb,
+         {grams} AS grams
+  FROM {docs}
+)
+SELECT a.id AS src, b.id AS dst,
+       round(len(list_intersect(a.grams, b.grams)) / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.id < b.id
+WHERE round(len(list_intersect(a.grams, b.grams)) / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= {threshold}"""
+
+
+# ------------------------------------------------------------ MinHash/LSH --
+
+def minhash_near_dup_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """(src, dst, jaccard) near-dup candidates over word-3-gram-shingled
+    text via MinHash/LSH (rows-only oracle: permutation hashes aren't
+    portable SQL). Word n-grams, not char n-grams: char shingles saturate on
+    repetitive corpora and degrade LSH to all-pairs."""
+    ents = docs.select(F.col("doc_id"), F.col(text_col).alias("t"))
+    return lsh_candidate_pairs(
+        ents,
+        id_col="doc_id",
+        text_col="t",
+        k=32,
+        bands=8,
+        threshold=threshold,
+        mode="word_ngrams",
+    )
+
+
+# ---------------------------------------------------------------- SimHash --
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — numpy-vectorized pandas UDF (Arrow batches).
+    Token hash is FNV-1a (stable across processes/executors; Python's
+    builtin str hash is salted per process and would break determinism)."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": _simhash64_fnv(pdf[text_col])}
+            )
+
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", text_col)
+        .repartition(p)  # parallelize the UDF over all cores
+        .mapInPandas(_batches, schema="doc_id long, simhash long")
+    )
+
+
+def _fnv1a(tok: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in tok.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _simhash64_fnv(texts: pd.Series) -> pd.Series:
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.array([_fnv1a(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        sig = int(((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out)
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(src, dst, hamming) pairs with simhash Hamming distance <= max_hamming.
+    Candidates blocked on 16-bit bands (a pair within distance 3 shares at
+    least one of 4 bands — pigeonhole), verified by popcount."""
+    sig = simhash_signatures(docs)
+    banded = sig.select(
+        F.col("doc_id").alias("id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("src", "dst", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

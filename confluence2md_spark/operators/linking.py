@@ -31,15 +31,25 @@ def _permutations(k: int, seed: int = 42) -> list[tuple[int, int]]:
 def shingle_hashes_col(text: Column, n: int = 3, mode: str = "chars") -> Column:
     """Distinct shingles of lower(text), hashed to [0, 2^31) longs.
 
-    mode='chars': character n-grams — right for near-dup prose (documents).
+    mode='chars': character n-grams — right for near-dup SHORT prose.
     mode='words': whitespace tokens — right for SHORT strings like titles,
     where char n-grams of 'page 1' vs 'page 10' overlap ≥0.8 and would
     over-merge; token sets only reach high Jaccard on (near-)identical
     titles.
+    mode='word_ngrams': n-token shingles — right for full documents, where
+    char n-grams over a small vocabulary saturate (every long doc shares
+    nearly all char 3-grams -> quadratic candidate blowup) but word
+    n-grams stay discriminative.
     """
     t = F.lower(text)
     if mode == "words":
         shingles = F.array_distinct(F.split(F.trim(t), r"\s+"))
+    elif mode == "word_ngrams":
+        toks = F.split(F.trim(t), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        shingles = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
     else:
         idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
         shingles = F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
@@ -66,15 +76,40 @@ def lsh_candidate_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     mode: str = "chars",
+    num_partitions: int | None = None,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """(src, dst, jaccard) pairs with exact Jaccard >= threshold, found via
-    MinHash LSH banding (b=bands, r=k/bands). src < dst."""
+    MinHash LSH banding (b=bands, r=k/bands). src < dst.
+
+    The repartition() calls are EXCHANGE BARRIERS, load-bearing twice over:
+    (1) a small parquet input arrives as one partition — without a
+    repartition the whole signature computation runs on one core; (2)
+    Catalyst's projection collapse would otherwise inline the shingle
+    expression into each of the k array_min's (k× substring-generation per
+    row) and the signature into each band hash — an exchange materializes
+    each intermediate exactly once.
+
+    `max_bucket_size` drops DEGENERATE buckets before the self-join: when a
+    ubiquitous shingle supplies the minhash for a whole band (tiny shingle
+    sets, e.g. 2-token titles where every set contains 'page'), that band's
+    bucket holds a large fraction of the corpus and the join goes quadratic
+    (observed: 21M candidates from 36k titles). A true near-dup pair shares
+    ALL bands, including the small buckets keyed by its distinctive
+    shingles, so skipping mega-buckets costs ~no recall while restoring
+    linear behavior — this is what makes the op safe at 10^12 rows.
+    """
     assert k % bands == 0, "k must be divisible by bands"
     r = k // bands
-    sigd = entities.select(
+    if num_partitions is None:
+        num_partitions = entities.sparkSession.sparkContext.defaultParallelism
+    shingled = entities.select(
         F.col(id_col).alias("id"),
         shingle_hashes_col(F.col(text_col), mode=mode).alias("sh"),
-    ).withColumn("sig", minhash_signature_col(F.col("sh"), k=k, seed=seed))
+    ).repartition(num_partitions, "id")
+    sigd = shingled.select(
+        "id", "sh", minhash_signature_col(F.col("sh"), k=k, seed=seed).alias("sig")
+    ).repartition(num_partitions, "id")
 
     banded = sigd.select(
         "id",
@@ -82,6 +117,15 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)])
         ).alias("band_idx", "band_hash"),
+    )
+    big_buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band_idx", "band_hash")
+    )
+    banded = banded.join(
+        F.broadcast(big_buckets), ["band_idx", "band_hash"], "left_anti"
     )
 
     a = banded.alias("a")

@@ -1,0 +1,204 @@
+"""Similarity search over an embedding column (driver mandate):
+brute-force cosine top-k baseline + random-hyperplane LSH bucketing as the
+scale path.
+
+All arithmetic is double-precision with a fixed accumulation order
+(element order), so the DuckDB oracle's `list_dot_product` over DOUBLE[]
+reproduces the Spark `zip_with`/`aggregate` result bit-for-bit.
+
+Scale notes: brute-force is O(Q*N) — fine when the query set is broadcast
+(small Q, the `broadcast()` below) and N is partitioned; the LSH variant
+buckets vectors by sign-pattern so each query only scans its bucket
+(candidate set ~N/2^bits), trading recall for a 2^bits fan-in cut.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q, neighbor, cosine, rank): exact top-k cosine neighbors for the
+    first `n_queries` ids. Query side is broadcast — the join is a map-side
+    nested loop over each partition of the corpus, no shuffle of the corpus."""
+    from pyspark.sql import Window
+
+    base = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q"), F.col("v").alias("qv")
+    )
+    pairs = base.join(broadcast(q), F.col("id") != F.col("q"))
+    scored = pairs.select(
+        "q",
+        F.col("id").alias("neighbor"),
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q", "neighbor", "cosine", "rank")
+    )
+
+
+def brute_force_topk_sql_duck(
+    emb: str = "embeddings", n_queries: int = 20, k: int = 5
+) -> str:
+    return f"""WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {emb}
+), q AS (
+  SELECT id AS q, v AS qv FROM base WHERE id < {n_queries}
+), scored AS (
+  SELECT q.q, base.id AS neighbor,
+         round(list_dot_product(q.qv, base.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(base.v, base.v))), 6) AS cosine
+  FROM base JOIN q ON base.id <> q.q
+), ranked AS (
+  SELECT q, neighbor, cosine,
+         row_number() OVER (PARTITION BY q ORDER BY cosine DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT q, neighbor, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}"""
+
+
+# ------------------------------------------------------------- LSH (ANN) --
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit i = 1 iff dot(v, plane_i) >= 0.
+    Pure column expr — the plane constants are literal arrays (JVM-side)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot_col(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH (OR-construction):
+    `tables` independent hash tables of `bits` hyperplanes each; a vector is
+    a candidate if it shares a bucket with the query in ANY table — for
+    cosine ~0.9 neighbors, miss probability is (1-p^bits)^tables ≈ 0.2%.
+    Returns (q, neighbor, cosine, rank). Recall vs brute force is tested in
+    pytest; rows-only driver check (plane constants aren't portable SQL)."""
+    from pyspark.sql import Window
+
+    base = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    buckets = F.array(
+        *[
+            lsh_bucket_col(F.col("v"), _hyperplanes(dim, bits, seed + t))
+            for t in range(tables)
+        ]
+    )
+    hashed = base.select(
+        "id", "v", F.posexplode(buckets).alias("table_idx", "bucket")
+    )
+    q = hashed.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q"),
+        F.col("v").alias("qv"),
+        F.col("table_idx").alias("qt"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = (
+        hashed.join(
+            broadcast(q),
+            (F.col("table_idx") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("id") != F.col("q")),
+        )
+        .select("q", "qv", F.col("id").alias("neighbor"), F.col("v"))
+        .dropDuplicates(["q", "neighbor"])
+    )
+    scored = cand.select(
+        "q",
+        "neighbor",
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q", "neighbor", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
+) -> DataFrame:
+    """(src, dst, cosine) pairs with cosine >= threshold, blocked by `label`
+    (cluster id) to bound the self-join; SQL-oracle-verifiable."""
+    base = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+    cos = F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+    return pairs.select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst"), cos.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_sql_duck(emb: str = "embeddings", threshold: float = 0.95) -> str:
+    return f"""WITH base AS (
+  SELECT vec_id AS id, label AS blk, embedding::DOUBLE[] AS v FROM {emb}
+)
+SELECT a.id AS src, b.id AS dst,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}"""

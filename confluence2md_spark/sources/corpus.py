@@ -191,11 +191,27 @@ def duckdb_raw_files_cte() -> str:
     )
 
 
-def synth_raw_files(spark, sf_dir: str):
+def synth_raw_files(spark, sf_dir: str, replicate: int = 1):
     """Materialize the raw_files DataFrame for `sf_dir` (pure column exprs,
     zero Python-per-row; at cluster scale this is replaced by
-    `catalog.load_table('raw_files')` over the real Iceberg corpus)."""
+    `catalog.load_table('raw_files')` over the real Iceberg corpus).
+
+    `replicate=K` tiles the documents table K times with contiguous new
+    doc_ids (doc_id + k*N) — every corpus formula stays consistent, so the
+    same pipeline runs at K× volume (used by the scaling benchmark)."""
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        n = n * replicate
     docs.createOrReplaceTempView("documents")
     return spark.sql(RAW_FILES_SELECT.format(N=n))

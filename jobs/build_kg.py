@@ -27,6 +27,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--replicate",
+        type=int,
+        default=1,
+        help="tile the synthesized corpus N times (scaling benchmarks)",
+    )
     args = ap.parse_args(argv)
     if not args.sf_dir and not args.table:
         ap.error("one of --sf-dir or --table is required")
@@ -40,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.table:
             raw = spark.read.parquet(args.table)
         else:
-            raw = synth_raw_files(spark, args.sf_dir)
+            raw = synth_raw_files(spark, args.sf_dir, replicate=args.replicate)
         res = build_kg(
             spark, raw, args.warehouse, run_id=args.run_id, num_partitions=args.partitions
         )

@@ -1,0 +1,83 @@
+"""Scaling evidence for the north_rule's two-cluster-size criterion.
+
+No real cluster exists in this sandbox, so N -> 4N executors is stood in by
+running the SAME job at local[8] and local[32] (fresh JVMs via spark-submit,
+fresh warehouses, same input). Reports throughput (triples/sec over pipeline
+wall, excluding JVM/session startup) at both levels and
+
+    scaling_efficiency = (T_8 / T_32) / (32 / 8)
+
+Usage: python scripts/scaling_bench.py [sf_dir] [replicate]
+Prints one JSON line; paste results into BASELINE.md / BENCH notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cores: int, sf_dir: str, replicate: int) -> dict:
+    wh = tempfile.mkdtemp(prefix=f"scalewh{cores}_")
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "jobs", "build_kg.py"),
+                "--sf-dir", sf_dir,
+                "--warehouse", wh,
+                "--run-id", f"scale{cores}",
+                "--master", f"local[{cores}]",
+                "--partitions", str(cores * 2),
+                "--replicate", str(replicate),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    lo, hi = 8, 32
+    r_lo = run_once(lo, sf_dir, replicate)
+    r_hi = run_once(hi, sf_dir, replicate)
+    t_lo, t_hi = r_lo["wall_s"], r_hi["wall_s"]
+    speedup = t_lo / t_hi if t_hi else float("nan")
+    eff = speedup / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sf": sf_dir,
+                "replicate": replicate,
+                "docs": r_lo["stage_rows"]["pages"],
+                "triples": r_lo["triples"],
+                f"wall_s_local{lo}": t_lo,
+                f"wall_s_local{hi}": t_hi,
+                f"triples_per_sec_local{lo}": r_lo["triples_per_sec"],
+                f"triples_per_sec_local{hi}": r_hi["triples_per_sec"],
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(eff, 3),
+                "target": 0.8,
+                f"stage_wall_local{lo}": r_lo["stage_wall_s"],
+                f"stage_wall_local{hi}": r_hi["stage_wall_s"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

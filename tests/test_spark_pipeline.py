@@ -1,0 +1,103 @@
+"""End-to-end pipeline tests: closed-form stage counts, resume identity,
+lineage population (SURVEY.md §5.2 items 4-5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluence2md_spark.plans.pipeline import build_kg
+from confluence2md_spark.sources.corpus import synth_raw_files
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("kgwh"))
+    raw = synth_raw_files(spark, sf_dir)
+    res = build_kg(spark, raw, wh, run_id="t1")
+    return wh, res
+
+
+def test_stage_counts_closed_form(built):
+    _, res = built
+    # 500 docs: 445 pages + 9 quarantined mime rows; triples per formulas.
+    assert res.stage_rows["pages"] == 454
+    assert res.stage_rows["triples_raw"] == 890 + 1037 + 445 + 185
+    assert res.stage_rows["canon_map"] == 445
+    assert res.stage_rows["nodes"] == 1024
+
+
+def test_triple_pred_counts(spark, built):
+    wh, _ = built
+    got = {
+        r["pred"]: r["count"]
+        for r in spark.read.parquet(f"{wh}/triples_raw").groupBy("pred").count().collect()
+    }
+    assert got == {
+        "links_to": 890,
+        "contains_heading": 1037,
+        "authored_by": 445,
+        "has_attachment": 185,
+    }
+
+
+def test_canonicalization_merges_dup_titles(spark, built):
+    wh, _ = built
+    cmap = spark.read.parquet(f"{wh}/canon_map")
+    merged = cmap.filter("doc_id <> canon_id").collect()
+    assert len(merged) == 39  # closed-form: (10k, 10k+7) page pairs
+    for r in merged:
+        assert r["doc_id"] % 10 == 7 and r["canon_id"] == r["doc_id"] - 7
+
+
+def test_resume_is_identity(spark, sf_dir, built):
+    wh, _ = built
+    raw = synth_raw_files(spark, sf_dir)
+    res2 = build_kg(spark, raw, wh, run_id="t1")
+    assert set(res2.resumed_stages) == {"pages", "triples_raw", "canon_map", "edges", "nodes"}
+
+
+def test_partial_resume_recomputes_only_missing(spark, sf_dir, built):
+    wh, _ = built
+    before = spark.read.parquet(f"{wh}/edges")
+    before_rows = {tuple(r) for r in before.select("subj", "pred", "obj").collect()}
+    # Invalidate edges+nodes manifests: those stages must recompute, earlier
+    # stages must be read back, and the recomputed output must be identical.
+    for stage in ("edges", "nodes"):
+        os.remove(os.path.join(wh, "_manifests", "t1", f"{stage}.json"))
+    raw = synth_raw_files(spark, sf_dir)
+    res = build_kg(spark, raw, wh, run_id="t1")
+    assert set(res.resumed_stages) == {"pages", "triples_raw", "canon_map"}
+    after = spark.read.parquet(f"{wh}/edges")
+    after_rows = {tuple(r) for r in after.select("subj", "pred", "obj").collect()}
+    assert before_rows == after_rows
+
+
+def test_lineage_populated(built):
+    wh, res = built
+    path = os.path.join(wh, "_lineage", "t1.jsonl")
+    assert os.path.exists(path)
+    with open(path) as f:
+        rows = [json.loads(line) for line in f]
+    stages = {r["stage"] for r in rows}
+    assert stages == {"pages", "triples_raw", "canon_map", "edges", "nodes"}
+    per_stage = {}
+    for r in rows:
+        per_stage.setdefault(r["stage"], 0)
+        per_stage[r["stage"]] += r["rows_out"]
+        assert r["wall_ms"] >= 0 and r["partition_id"] >= 0
+    assert per_stage["pages"] == res.stage_rows["pages"]
+
+
+def test_edges_partitioned_by_pred(built):
+    wh, _ = built
+    preds = {d for d in os.listdir(f"{wh}/edges") if d.startswith("pred=")}
+    assert preds == {
+        "pred=links_to",
+        "pred=contains_heading",
+        "pred=authored_by",
+        "pred=has_attachment",
+    }
