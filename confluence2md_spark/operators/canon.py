@@ -16,18 +16,30 @@ from .components import connected_components
 from .linking import lsh_candidate_pairs
 
 
-def build_canonical_map(pages: DataFrame, threshold: float = 0.8) -> DataFrame:
+def build_canonical_map(
+    pages: DataFrame, threshold: float = 0.8, num_partitions: int | None = None
+) -> DataFrame:
     """(doc_id, canon_id) for every page; identity where no alias exists.
 
     Alias edges come from MinHash/LSH over page titles (I2); components from
     iterative hash-min (I3); canonical id = min doc_id in the component.
+
+    `num_partitions` should track the TITLE volume, not the cluster width —
+    title rows are tiny, and oversizing this stage drowns it in task
+    scheduling (measured: 3× slower at 64 partitions than at 8 for 36k
+    titles). The pipeline passes rows//20k clamped to the cluster width.
     """
     ok = pages.filter(F.col("status") == "ok").select("doc_id", "title")
     # Word-token shingles for titles: char n-grams over-merge short strings
     # ('Page 1' vs 'Page 10' share ≥80% of 3-grams); token sets only collide
     # on (near-)identical titles, which is the alias semantics we want.
     pairs = lsh_candidate_pairs(
-        ok, id_col="doc_id", text_col="title", threshold=threshold, mode="words"
+        ok,
+        id_col="doc_id",
+        text_col="title",
+        threshold=threshold,
+        mode="words",
+        num_partitions=num_partitions,
     )
     comp = connected_components(pairs)  # (id, component) — only linked pages
     return (

@@ -74,15 +74,30 @@ def build_kg(
     def s1():
         # Hot-repo skew (60% of the synthetic corpus lives in 'repo-hot';
         # worse at 10^12-file scale) is defused BEFORE the Python stage.
+        # The skew census runs on a content-free projection — computing it on
+        # the filtered frame would force two extra full evaluations of the
+        # (large) content column just to count repos.
+        from .skew import hot_keys
+
+        hot = hot_keys(raw_files.select("repo"), "repo")
         conf = raw_files.filter(is_confluence_mime_col(F.col("content")))
         balanced = salted_repartition(
-            conf, "repo", num_partitions, salt_source="path"
+            conf, "repo", num_partitions, hot=hot, salt_source="path"
         )
         return convert_pages(balanced, prefilter=False)
 
     pages = stage("pages", s1)
     triples = stage("triples_raw", lambda: extract_all_triples(pages))
-    cmap = stage("canon_map", lambda: build_canonical_map(pages, threshold=link_threshold))
+    # Linking/CC operate on titles (tiny rows): partition by data volume, not
+    # cluster width — oversizing these stages costs more in task scheduling
+    # than the work itself (see build_canonical_map docstring).
+    p_small = max(4, min(num_partitions, res.stage_rows["pages"] // 20_000 + 1))
+    cmap = stage(
+        "canon_map",
+        lambda: build_canonical_map(
+            pages, threshold=link_threshold, num_partitions=p_small
+        ),
+    )
     edges = stage(
         "edges",
         lambda: canonicalize_triples(triples, cmap),

@@ -213,5 +213,10 @@ def synth_raw_files(spark, sf_dir: str, replicate: int = 1):
             "n_chars",
         )
         n = n * replicate
+    # Repartition BEFORE the content expression: the documents parquet is one
+    # small file (one input partition, and crossJoin preserves that), so
+    # without this every MIME string would be concatenated inside a single
+    # task regardless of cluster width.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
     docs.createOrReplaceTempView("documents")
     return spark.sql(RAW_FILES_SELECT.format(N=n))
