@@ -235,6 +235,57 @@ def _kg_repo_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _raw(spark, sf_dir).groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _kg_export_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J16: parse the RFC-822 Date header of every Confluence export.
+    rf = _raw(spark, sf_dir)
+    mime = rf.filter(is_confluence_mime_col(F.col("content")))
+    # day-of-week is not a parseable field in Spark's datetime patterns —
+    # strip it in the extraction instead.
+    date_line = F.regexp_extract("content", r"(?m)^Date: \w+, (.+)$", 1)
+    ts = F.to_timestamp(date_line, "dd MMM yyyy HH:mm:ss Z")
+    return mime.select(
+        "doc_id",
+        ts.alias("export_ts"),
+        F.date_trunc("year", ts).alias("export_year"),
+    )
+
+
+def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from confluence2md_spark.operators.mimeparts import explode_mime_parts
+
+    key = ("parts", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = explode_mime_parts(
+            _raw(spark, sf_dir),
+            num_partitions=spark.sparkContext.defaultParallelism,
+        ).persist()
+    return _CACHE[key]
+
+
+def _kg_mime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J19 map functions over the preserved RFC-822 header map.
+    p = _parts(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "part_index",
+        "media_type",
+        "transfer_encoding",
+        "filename",
+        F.coalesce(F.element_at("headers", "Content-Type"), F.lit("")).alias(
+            "content_type_hdr"
+        ),
+        "status",
+    )
+
+
+def _kg_html_part_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from confluence2md_spark.operators.mimeparts import select_html_parts
+
+    return select_html_parts(_parts(spark, sf_dir)).select(
+        "doc_id", "part_index", "charset"
+    )
+
+
 # ----------------------------------------------------- relational surface --
 
 _CENTS = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
@@ -519,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_linked": _kg_top_linked,
         "kg_unresolved_links": _kg_unresolved_links,
         "kg_repo_skew_census": _kg_repo_skew_census,
+        "kg_mime_parts": _kg_mime_parts,
+        "kg_html_part_selection": _kg_html_part_selection,
+        "kg_export_dates": _kg_export_dates,
         # relational surface (SURVEY.md §2.J)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -637,6 +691,34 @@ SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_pag
 SELECT CASE WHEN doc_id % 5 < 3 THEN 'repo-hot' ELSE 'repo-' || CAST(doc_id % 17 AS STRING) END AS repo,
        count(*) AS n
 FROM documents GROUP BY 1""",
+        "kg_mime_parts": """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 3),
+att AS (SELECT doc_id, 'att-' || CAST(doc_id AS STRING) || '.png' AS fn FROM m)
+SELECT m.doc_id, CAST(-1 AS INT) AS part_index, '' AS media_type, '' AS transfer_encoding,
+       '' AS filename, '' AS content_type_hdr, 'not_multipart' AS status
+FROM m WHERE doc_id % 97 = 95
+UNION ALL
+SELECT m.doc_id, CAST(0 AS INT), 'image/png', 'base64', att.fn,
+       'image/png; name="' || att.fn || '"', 'ok'
+FROM m JOIN att ON m.doc_id = att.doc_id WHERE m.doc_id % 97 = 96
+UNION ALL
+SELECT m.doc_id, CAST(0 AS INT), 'text/html',
+       CASE WHEN m.doc_id % 7 = 0 THEN 'quoted-printable' ELSE '7bit' END,
+       '', 'text/html; charset="UTF-8"', 'ok'
+FROM m WHERE m.doc_id % 97 <> 95 AND m.doc_id % 97 <> 96
+UNION ALL
+SELECT m.doc_id, CAST(1 AS INT), 'image/png', 'base64', att.fn,
+       'image/png; name="' || att.fn || '"', 'ok'
+FROM m JOIN att ON m.doc_id = att.doc_id
+WHERE m.doc_id % 97 <> 95 AND m.doc_id % 97 <> 96 AND m.doc_id % 4 = 0""",
+        "kg_html_part_selection": f"""
+SELECT doc_id, CAST(0 AS INT) AS part_index, 'utf-8' AS charset
+FROM documents WHERE {IS_PAGE_SQL}""",
+        "kg_export_dates": """
+SELECT doc_id,
+       TIMESTAMP '2025-01-01 00:00:00' AS export_ts,
+       TIMESTAMP '2025-01-01 00:00:00' AS export_year
+FROM documents WHERE doc_id % 11 <> 3""",
         # ----------------------------------------------- relational surface
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -67,9 +67,12 @@ def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
         F.concat(F.lit("page:"), F.col("doc_id").cast("string")).alias("obj"),
         F.concat(F.lit("page:"), F.col("canon_id").cast("string")).alias("obj_canon"),
     )
+    # Explicit broadcast: the canonical map is tiny relative to the triple
+    # stream (only alias-component members), and pinning the strategy avoids
+    # AQE occasionally picking a shuffle join for these small sides.
     t = (
-        triples.join(subj_map, "subj", "left")
-        .join(obj_map, "obj", "left")
+        triples.join(F.broadcast(subj_map), "subj", "left")
+        .join(F.broadcast(obj_map), "obj", "left")
         .select(
             F.coalesce("subj_canon", F.col("subj")).alias("subj"),
             "pred",

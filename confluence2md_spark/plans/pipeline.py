@@ -47,7 +47,11 @@ def build_kg(
     run_id: str = "run0",
     num_partitions: int | None = None,
     link_threshold: float = 0.8,
+    dry_run: bool = False,
 ) -> KgBuildResult:
+    """`dry_run=True` is the reference's --dry-run (main.go:204-207) at
+    pipeline scale: every stage is computed and counted (lineage recorded),
+    but nothing is written and no manifests are created."""
     ckpt = CheckpointManager(warehouse, run_id)
     lineage = LineageLog(warehouse, run_id)
     res = KgBuildResult(run_id=run_id, warehouse=warehouse)
@@ -55,7 +59,7 @@ def build_kg(
         num_partitions = spark.sparkContext.defaultParallelism
 
     def stage(name: str, compute, partition_by=None):
-        if ckpt.is_complete(name):
+        if not dry_run and ckpt.is_complete(name):
             res.resumed_stages.append(name)
             df = load_table(spark, warehouse, name)
             res.stage_rows[name] = df.count()
@@ -63,6 +67,12 @@ def build_kg(
             return df
         t0 = time.monotonic()
         out = compute()
+        if dry_run:
+            out = out.localCheckpoint()  # compute once; reuse downstream
+            wall = time.monotonic() - t0
+            res.stage_rows[name] = lineage.record_stage(name, out, wall * 1000, status="dry_run")
+            res.stage_wall_s[name] = wall
+            return out
         path = write_table(out, warehouse, name, partition_by=partition_by)
         df = load_table(spark, warehouse, name)
         wall = time.monotonic() - t0
@@ -73,18 +83,22 @@ def build_kg(
 
     def s1():
         # Hot-repo skew (60% of the synthetic corpus lives in 'repo-hot';
-        # worse at 10^12-file scale) is defused BEFORE the Python stage.
-        # The skew census runs on a content-free projection — computing it on
-        # the filtered frame would force two extra full evaluations of the
-        # (large) content column just to count repos.
-        from .skew import hot_keys
+        # worse at 10^12-file scale) is defused BEFORE the Python stage —
+        # but ONLY when the physical layout needs it: shuffling terabytes of
+        # content that parquet splits already spread evenly would double the
+        # stage's IO for nothing. Both censuses run on content-free
+        # projections (repo derives from doc_id; the content column is never
+        # evaluated for them).
+        from .skew import hot_keys, layout_census, needs_rebalance
 
         hot = hot_keys(raw_files.select("repo"), "repo")
+        census = layout_census(raw_files.select("repo"), "repo", hot)
         conf = raw_files.filter(is_confluence_mime_col(F.col("content")))
-        balanced = salted_repartition(
-            conf, "repo", num_partitions, hot=hot, salt_source="path"
-        )
-        return convert_pages(balanced, prefilter=False)
+        if needs_rebalance(census, num_partitions):
+            conf = salted_repartition(
+                conf, "repo", num_partitions, hot=hot, salt_source="path"
+            )
+        return convert_pages(conf, prefilter=False)
 
     pages = stage("pages", s1)
     triples = stage("triples_raw", lambda: extract_all_triples(pages))

@@ -25,6 +25,43 @@ def hot_keys(df: DataFrame, key: str, hot_fraction: float = 0.05) -> list:
     return [r[0] for r in rows]
 
 
+def layout_census(probe_df: DataFrame, key: str, hot: list) -> dict:
+    """Physical-layout stats from a CHEAP projection of the same frame
+    (content-pruned — caller passes e.g. df.select(key)): per-partition row
+    counts and the hot-key concentration across partitions."""
+    agg = (
+        probe_df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_if(F.col(key).isin(hot) if hot else F.lit(False)).alias("hot_rows"),
+        )
+        .collect()
+    )
+    rows = [r["rows"] for r in agg]
+    hot_rows = [r["hot_rows"] for r in agg]
+    total = sum(rows) or 1
+    total_hot = sum(hot_rows)
+    return {
+        "n_partitions": len(rows),
+        "max_rows": max(rows) if rows else 0,
+        "mean_rows": total / max(len(rows), 1),
+        "hot_concentration": (max(hot_rows) / total_hot) if total_hot else 0.0,
+        "total": total,
+    }
+
+
+def needs_rebalance(census: dict, num_partitions: int, skew_factor: float = 1.5) -> bool:
+    """True when the existing layout would starve or skew the next stage:
+    too few partitions, imbalanced partition sizes, or a hot key clustered
+    into few partitions (the Iceberg bucket(repo) failure mode)."""
+    if census["n_partitions"] < max(2, num_partitions // 2):
+        return True
+    if census["max_rows"] > skew_factor * census["mean_rows"]:
+        return True
+    fair_share = 1.0 / census["n_partitions"]
+    return census["hot_concentration"] > 2.0 * fair_share
+
+
 def salted_repartition(
     df: DataFrame,
     key: str,

@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
         default=1,
         help="tile the synthesized corpus N times (scaling benchmarks)",
     )
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="compute + count every stage, write nothing (A6 semantics)",
+    )
     args = ap.parse_args(argv)
     if not args.sf_dir and not args.table:
         ap.error("one of --sf-dir or --table is required")
@@ -48,7 +53,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             raw = synth_raw_files(spark, args.sf_dir, replicate=args.replicate)
         res = build_kg(
-            spark, raw, args.warehouse, run_id=args.run_id, num_partitions=args.partitions
+            spark,
+            raw,
+            args.warehouse,
+            run_id=args.run_id,
+            num_partitions=args.partitions,
+            dry_run=args.dry_run,
         )
         n_triples = res.stage_rows.get("edges", 0)
         wall = res.total_wall_s

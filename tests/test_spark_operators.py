@@ -135,6 +135,20 @@ def test_hot_keys_and_salted_repartition(spark, sf_dir):
     assert max(sizes) < 300
 
 
+def test_layout_census_detects_clustering(spark, sf_dir):
+    from confluence2md_spark.plans.skew import layout_census, needs_rebalance
+    from confluence2md_spark.sources.corpus import synth_raw_files
+
+    raw = synth_raw_files(spark, sf_dir)
+    # synth output is round-robin balanced -> no rebalance needed
+    c_ok = layout_census(raw.select("repo"), "repo", ["repo-hot"])
+    assert not needs_rebalance(c_ok, c_ok["n_partitions"])
+    # cluster by repo (the Iceberg bucket(repo) failure mode) -> rebalance
+    clustered = raw.repartition(8, "repo")
+    c_bad = layout_census(clustered.select("repo"), "repo", ["repo-hot"])
+    assert needs_rebalance(c_bad, 8)
+
+
 # ----------------------------------------------------------- multimodal ---
 
 def test_multimodal_plumbing(spark, sf_dir):

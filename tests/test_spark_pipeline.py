@@ -92,6 +92,35 @@ def test_lineage_populated(built):
     assert per_stage["pages"] == res.stage_rows["pages"]
 
 
+def test_dry_run_writes_nothing(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "drywh")
+    raw = synth_raw_files(spark, sf_dir)
+    res = build_kg(spark, raw, wh, run_id="dry1", dry_run=True)
+    # same counts as a real run, but no tables and no manifests on disk
+    assert res.stage_rows["pages"] == 454
+    assert res.stage_rows["edges"] > 0
+    assert not os.path.exists(os.path.join(wh, "edges"))
+    assert not os.path.exists(os.path.join(wh, "_manifests", "dry1", "pages.json"))
+    # lineage IS recorded (the dry-run report)
+    assert os.path.exists(os.path.join(wh, "_lineage", "dry1.jsonl"))
+
+
+def test_mime_parts_explode(spark, sf_dir):
+    from confluence2md_spark.operators.mimeparts import explode_mime_parts, select_html_parts
+
+    raw = synth_raw_files(spark, sf_dir)
+    parts = explode_mime_parts(raw, num_partitions=4).persist()
+    # pages with attachment (doc_id%4==0) have 2 parts; html selection picks
+    # exactly one per ok page; headers map is preserved.
+    two = parts.filter("doc_id = 0").orderBy("part_index").collect()
+    assert [p["media_type"] for p in two] == ["text/html", "image/png"]
+    assert two[0]["headers"]["Content-Type"] == 'text/html; charset="UTF-8"'
+    assert two[1]["filename"] == "att-0.png"
+    html = select_html_parts(parts)
+    assert html.count() == 445
+    assert html.filter("part_index <> 0").count() == 0
+
+
 def test_edges_partitioned_by_pred(built):
     wh, _ = built
     preds = {d for d in os.listdir(f"{wh}/edges") if d.startswith("pred=")}
