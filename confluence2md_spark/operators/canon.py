@@ -33,10 +33,16 @@ def build_canonical_map(
     # Word-token shingles for titles: char n-grams over-merge short strings
     # ('Page 1' vs 'Page 10' share ≥80% of 3-grams); token sets only collide
     # on (near-)identical titles, which is the alias semantics we want.
+    # k=16/b=4: with 2-3-token title sets, word-token Jaccard is either 1.0
+    # (identical set — every band matches at ANY k) or ≤ 1/3 (filtered by
+    # the exact-Jaccard verify), so halving the signature width loses no
+    # recall and halves signature/banding work.
     pairs = lsh_candidate_pairs(
         ok,
         id_col="doc_id",
         text_col="title",
+        k=16,
+        bands=4,
         threshold=threshold,
         mode="words",
         num_partitions=num_partitions,

@@ -25,26 +25,28 @@ def connected_components(
     """(id, component) for every vertex appearing in `edges`;
     component = min vertex id in the component."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    sym = sym.localCheckpoint()
-
-    labels = (
-        sym.select(F.col("src").alias("id"))
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .persist()  # reused every iteration; materializes with the first job
+    )
+
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
     )
 
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), F.col("component")
         )
+        # eager=False: the checkpoint materializes as part of the
+        # convergence-check job below — ONE job per iteration, not two.
         new_labels = (
             labels.select("id", "component")
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -55,4 +57,5 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels

@@ -138,9 +138,16 @@ def extract_mime_attachment_triples(pages: DataFrame) -> DataFrame:
     )
 
 
-def extract_all_triples(pages: DataFrame) -> DataFrame:
-    """H1 ∪ H2 ∪ H3 ∪ H4, deduped on (subj,pred,obj) keeping max confidence
-    (I5; a page can reference the same attachment via MIME part AND URL)."""
+def extract_all_triples(pages: DataFrame, dedup: bool = False) -> DataFrame:
+    """H1 ∪ H2 ∪ H3 ∪ H4 — raw triple emissions.
+
+    `dedup=False` by default: canonicalization (operators/canon.py) ends in
+    a groupBy over (subj,pred,obj) anyway, so a pre-dedup here would shuffle
+    the full triple stream twice for nothing — at 10^12-file scale that
+    second shuffle is the difference between one pass and two. Pass
+    dedup=True when triples_raw is consumed WITHOUT canonicalization and
+    exact I5 semantics (distinct (s,p,o,doc) keeping max confidence) matter.
+    """
     ok = pages.filter(F.col("status") == "ok")
     t = (
         extract_link_triples(ok)
@@ -148,6 +155,8 @@ def extract_all_triples(pages: DataFrame) -> DataFrame:
         .unionByName(extract_author_triples(ok))
         .unionByName(extract_mime_attachment_triples(ok))
     )
-    return t.groupBy("subj", "pred", "obj", "subj_type", "obj_type", "doc_id", "repo").agg(
-        F.max("confidence").alias("confidence")
-    )
+    if dedup:
+        return t.groupBy(
+            "subj", "pred", "obj", "subj_type", "obj_type", "doc_id", "repo"
+        ).agg(F.max("confidence").alias("confidence"))
+    return t

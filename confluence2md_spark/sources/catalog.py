@@ -18,6 +18,43 @@ from pyspark.sql import DataFrame, SparkSession
 _ICEBERG = os.environ.get("KG_USE_ICEBERG", "") == "1"
 _NAMESPACE = os.environ.get("KG_NAMESPACE", "kg")
 
+# Cluster-side DDL (documented here, executed when KG_USE_ICEBERG=1 on a
+# Spark with the Iceberg runtime): partition transforms chosen per table —
+# raw_files bucketed by repo so one repo's files spread over N buckets
+# (pre-defusing hot-repo scan skew), edges partitioned by predicate (every
+# downstream query filters on pred), nodes by node_type.
+ICEBERG_DDL = {
+    "raw_files": f"""
+CREATE TABLE IF NOT EXISTS {_NAMESPACE}.raw_files (
+  repo STRING, path STRING, commit STRING, lang STRING, content STRING)
+USING iceberg PARTITIONED BY (bucket(256, repo))""",
+    "pages": f"""
+CREATE TABLE IF NOT EXISTS {_NAMESPACE}.pages (
+  doc_id BIGINT, repo STRING, path STRING, commit STRING, status STRING,
+  title STRING, markdown STRING, content_sha256 STRING, md_chars INT,
+  authors ARRAY<STRUCT<username: STRING, display_name: STRING>>,
+  attachments ARRAY<STRUCT<filename: STRING, media_type: STRING,
+                           size_bytes: BIGINT, sha256: STRING>>)
+USING iceberg PARTITIONED BY (bucket(64, repo))""",
+    "edges": f"""
+CREATE TABLE IF NOT EXISTS {_NAMESPACE}.edges (
+  subj STRING, pred STRING, obj STRING, subj_type STRING, obj_type STRING,
+  confidence DOUBLE, n_sources BIGINT, repo STRING)
+USING iceberg PARTITIONED BY (pred)""",
+    "nodes": f"""
+CREATE TABLE IF NOT EXISTS {_NAMESPACE}.nodes (
+  node_id STRING, node_type STRING, canonical_name STRING,
+  aliases ARRAY<STRING>, repo STRING)
+USING iceberg PARTITIONED BY (node_type)""",
+}
+
+
+def ensure_tables(spark: SparkSession) -> None:
+    """Create the Iceberg tables (no-op in the parquet-backed sandbox)."""
+    if _ICEBERG:
+        for ddl in ICEBERG_DDL.values():
+            spark.sql(ddl)
+
 
 def load_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
     if _ICEBERG:
