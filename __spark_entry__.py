@@ -475,6 +475,33 @@ def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) as pure window algebra:
+    lag -> new-session flag -> running sum = session id. The batch twin of
+    streaming session windows; scales as one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
@@ -588,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_customers": _approx_distinct_customers,
         "events_hourly": _events_hourly,
         "events_sliding": _events_sliding,
+        "events_sessionize": _events_sessionize,
         "events_json": _events_json,
         # training-data operators (driver mandate)
         "dedup_exact": _dedup_exact,
@@ -803,6 +831,25 @@ SELECT start AS window_start, count(*) AS n FROM (
         "events_json": """
 SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
 FROM events GROUP BY event_type""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id""",
         # ------------------------------------------------ training-data ops
         "dedup_exact": """
 SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,

@@ -48,12 +48,19 @@ def exact_dedup_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # --------------------------------------------------------- n-gram Jaccard --
 
-def _word_ngrams(text: Column, n: int) -> Column:
+def _word_ngrams(text: Column, n: int, hashed: bool = True) -> Column:
+    """Distinct word n-gram shingles; `hashed=True` maps each gram to a
+    64-bit xxhash — long-array intersects/unions are several times cheaper
+    than string-array ones and shuffle a fraction of the bytes (collision
+    probability at corpus scale is ~0 for Jaccard purposes)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+    if hashed:
+        return F.transform(grams, lambda g: F.xxhash64(g))
+    return grams
 
 
 def ngram_jaccard_pairs(
