@@ -47,6 +47,11 @@ def build_canonical_map(
         mode="words",
         num_partitions=num_partitions,
     )
+    # Materialize the candidate pairs BEFORE iterating: otherwise every CC
+    # iteration's lineage embeds the whole LSH plan (band joins, broadcasts),
+    # re-planned and re-broadcast inside each checkpoint job — measured OOM
+    # at 1.28M docs. (SURVEY.md §4.3: cut lineage ahead of iteration.)
+    pairs = pairs.localCheckpoint()
     comp = connected_components(pairs)  # (id, component) — only linked pages
     return (
         ok.select("doc_id")

@@ -38,7 +38,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only JVM: its heap IS the whole cluster memory.
+        # 32 concurrent tasks × execution memory (hash maps, sorts) + cached
+        # broadcasts OOM'd at 8g on a 1.28M-doc run; the sandbox has 128 GiB,
+        # so size the single JVM like the N executors it stands in for.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
