@@ -240,13 +240,19 @@ def _kg_export_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = _raw(spark, sf_dir)
     mime = rf.filter(is_confluence_mime_col(F.col("content")))
     # day-of-week is not a parseable field in Spark's datetime patterns —
-    # strip it in the extraction instead.
-    date_line = F.regexp_extract("content", r"(?m)^Date: \w+, (.+)$", 1)
-    ts = F.to_timestamp(date_line, "dd MMM yyyy HH:mm:ss Z")
+    # strip it in the extraction. Parse as TIMESTAMP_NTZ (corpus dates are
+    # all +0000) so the result is independent of the session timezone the
+    # driver happens to use.
+    date_line = F.regexp_extract(
+        "content", r"(?m)^Date: \w+, (.+) \+0000$", 1
+    )
+    ts = F.to_timestamp_ntz(date_line, F.lit("dd MMM yyyy HH:mm:ss"))
+    # year() (int) rather than date_trunc: date_trunc returns an LTZ
+    # timestamp even for NTZ input, re-introducing session-tz dependence.
     return mime.select(
         "doc_id",
         ts.alias("export_ts"),
-        F.date_trunc("year", ts).alias("export_year"),
+        F.year(ts).alias("export_year"),
     )
 
 
@@ -745,7 +751,7 @@ FROM documents WHERE {IS_PAGE_SQL}""",
         "kg_export_dates": """
 SELECT doc_id,
        TIMESTAMP '2025-01-01 00:00:00' AS export_ts,
-       TIMESTAMP '2025-01-01 00:00:00' AS export_year
+       CAST(2025 AS INT) AS export_year
 FROM documents WHERE doc_id % 11 <> 3""",
         # ----------------------------------------------- relational surface
         "q1_pricing_summary": """
