@@ -1,10 +1,15 @@
 """Canonicalization I4/I5 (SURVEY.md §2.I): alias components -> canonical ids,
 triple rewrite, node materialization.
 
-The canonical map is usually tiny relative to the corpus (only pages that
-participate in an alias component appear in it), so the rewrite joins are
-broadcast-eligible — AQE picks broadcast automatically under the session's
-64 MB threshold; at 100 TB the map is still ~0.1% of rows.
+`build_canonical_map` returns one row PER PAGE (identity included) — that is
+the contract its consumers (the canon_map sink, the kg_canon_map oracle)
+expect. The rewrite joins, however, only ever need the NON-identity remnant:
+a page whose canon_id equals its doc_id rewrites to itself, which the
+`coalesce` on the left join already produces without any map row. So
+`canonicalize_triples`/`build_nodes` filter the map to `canon_id != doc_id`
+(alias-component members only — ~0.1% of pages) BEFORE the broadcast; at
+10^9 pages the full map would be a multi-GB forced broadcast, while the
+alias remnant stays comfortably under the broadcast threshold.
 """
 
 from __future__ import annotations
@@ -67,9 +72,18 @@ def _canon_node(col, cmap_col):
     return F.concat(F.lit("page:"), cmap_col.cast("string"))
 
 
+def alias_only(cmap: DataFrame) -> DataFrame:
+    """The non-identity remnant of a canonical map — the only rows a rewrite
+    join needs (identity rewrites fall out of the left-join `coalesce`).
+    This is what makes the explicit broadcast below scale-safe: the remnant
+    is proportional to the number of ALIASED pages, not the corpus size."""
+    return cmap.filter(F.col("canon_id") != F.col("doc_id"))
+
+
 def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
     """Rewrite page-typed subj/obj to canonical page ids; then re-dedup
     (distinct aliases can collapse onto the same canonical triple)."""
+    cmap = alias_only(cmap)
     subj_map = cmap.select(
         F.concat(F.lit("page:"), F.col("doc_id").cast("string")).alias("subj"),
         F.concat(F.lit("page:"), F.col("canon_id").cast("string")).alias("subj_canon"),
@@ -78,9 +92,9 @@ def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
         F.concat(F.lit("page:"), F.col("doc_id").cast("string")).alias("obj"),
         F.concat(F.lit("page:"), F.col("canon_id").cast("string")).alias("obj_canon"),
     )
-    # Explicit broadcast: the canonical map is tiny relative to the triple
-    # stream (only alias-component members), and pinning the strategy avoids
-    # AQE occasionally picking a shuffle join for these small sides.
+    # Explicit broadcast: after alias_only() the map holds only
+    # alias-component members (tiny at any corpus size); pinning the strategy
+    # avoids AQE occasionally picking a shuffle join for these small sides.
     t = (
         triples.join(F.broadcast(subj_map), "subj", "left")
         .join(F.broadcast(obj_map), "obj", "left")
@@ -107,7 +121,8 @@ def build_nodes(pages: DataFrame, cmap: DataFrame, edges: DataFrame) -> DataFram
     node referenced by an edge (user/file/section/url)."""
     ok = pages.filter(F.col("status") == "ok").select("doc_id", "title", "repo")
     page_nodes = (
-        ok.join(cmap, "doc_id")
+        ok.join(F.broadcast(alias_only(cmap)), "doc_id", "left")
+        .withColumn("canon_id", F.coalesce("canon_id", F.col("doc_id")))
         .groupBy("canon_id")
         .agg(
             F.sort_array(F.collect_set(F.concat(F.lit("page:"), F.col("doc_id").cast("string")))).alias("aliases"),

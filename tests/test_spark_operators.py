@@ -78,6 +78,50 @@ def test_cc_chain_and_cycle_and_isolated(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_cc_fixpoint_guard_fires_on_long_chain(spark):
+    """A path graph with diameter > max_iter must NOT return silently wrong
+    labels: raise by default, warn when asked (VERDICT r1 item 7)."""
+    import warnings
+
+    import pytest
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(path_edges, max_iter=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(path_edges, max_iter=2, on_max_iter="warn")
+        labels.collect()
+    assert any("fixpoint" in str(w.message) for w in caught)
+    # enough iterations -> converges, no guard
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(path_edges, max_iter=15).collect()
+    }
+    assert all(c == 0 for c in comp.values())
+
+
+def test_canonicalize_broadcasts_alias_only_remnant(spark):
+    """The rewrite joins must broadcast ONLY the canon_id != doc_id remnant
+    (VERDICT r1 item 1): identity rows rewrite via coalesce, and the plan's
+    broadcast side stays proportional to alias count, not corpus size."""
+    from confluence2md_spark.operators.canon import alias_only, canonicalize_triples
+
+    cmap = spark.createDataFrame(
+        [(i, i if i != 7 else 0) for i in range(100)], ["doc_id", "canon_id"]
+    )
+    assert alias_only(cmap).count() == 1  # only 7 -> 0
+    triples = spark.createDataFrame(
+        [("page:7", "links_to", "page:3", "page", "page", 7, "r", 1.0),
+         ("page:3", "links_to", "page:7", "page", "page", 3, "r", 1.0)],
+        ["subj", "pred", "obj", "subj_type", "obj_type", "doc_id", "repo", "confidence"],
+    )
+    out = {(r["subj"], r["obj"]) for r in canonicalize_triples(triples, cmap).collect()}
+    assert out == {("page:0", "page:3"), ("page:3", "page:0")}
+
+
 # -------------------------------------------------------------- simhash ---
 
 def test_simhash_deterministic_and_finds_dups(spark):
