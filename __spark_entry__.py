@@ -184,7 +184,12 @@ def _kg_has_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_triples_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _triples(spark, sf_dir).groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        _triples(spark, sf_dir)
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
 
 
 def _kg_canon_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,9 +315,11 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_CENTS(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
             F.sum(_CENTS(disc)).alias("sum_disc_price_cents"),
             F.sum(_CENTS(charge)).alias("sum_charge_cents"),
-            F.round(F.avg(F.col("l_quantity").cast("bigint")), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # exact integer micros (sum*1e6 div count) instead of round(avg, 6):
+        # integer division is bit-identical across engines, float round is not
+        .withColumn("avg_qty_micros", F.expr("sum_qty * 1000000 div count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -352,6 +359,7 @@ def _q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .orderBy("r_name", "n_name")
     )
 
 
@@ -415,7 +423,7 @@ def _window_running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFra
             "running_cents"
         ),
         F.lag("price_cents", 1).over(w).alias("prev_cents"),
-    )
+    ).orderBy("o_custkey", "o_orderkey")
 
 
 def _rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,6 +440,7 @@ def _rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_qty",
         )
+        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -469,6 +478,7 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_value_milli"),
         )
+        .orderBy("hour", "event_type")
     )
 
 
@@ -501,18 +511,24 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return per_session.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-        F.max("n_events").alias("max_session_events"),
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
     )
 
 
 def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
     )
 
 
@@ -698,11 +714,12 @@ SELECT {subj}, 'file:spec-' || CAST(doc_id AS STRING) || '.pdf'
 FROM documents WHERE {IS_PAGE_SQL} AND doc_id % 6 = 0""",
         "kg_triples_by_pred": f"""
 WITH p AS (SELECT doc_id FROM documents WHERE {IS_PAGE_SQL})
-SELECT 'links_to' AS pred, 2*count(*) AS n FROM p
-UNION ALL SELECT 'contains_heading', 2*count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) FROM p
-UNION ALL SELECT 'authored_by', count(*) FROM p
+SELECT 'links_to' AS pred, CAST(2*count(*) AS BIGINT) AS n FROM p
+UNION ALL SELECT 'contains_heading', CAST(2*count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM p
+UNION ALL SELECT 'authored_by', CAST(count(*) AS BIGINT) FROM p
 UNION ALL SELECT 'has_attachment',
-  sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) FROM p""",
+  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM p
+ORDER BY pred""",
         "kg_canon_map": f"""
 SELECT doc_id, {canon_id_sql('doc_id')} AS canon_id FROM documents WHERE {IS_PAGE_SQL}""",
         "kg_nodes_pages": f"""
@@ -755,20 +772,24 @@ SELECT doc_id,
 FROM documents WHERE doc_id % 11 <> 3""",
         # ----------------------------------------------- relational surface
         "q1_pricing_summary": """
-SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-  sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_price_cents,
-  sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_cents,
-  round(avg(CAST(l_quantity AS BIGINT)), 6) AS avg_qty,
-  count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_cents,
+       sum_disc_price_cents, sum_charge_cents, count_order,
+       CAST(sum_qty * 1000000 // count_order AS BIGINT) AS avg_qty_micros
+FROM (
+  SELECT l_returnflag, l_linestatus,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+    count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 ORDER BY l_returnflag, l_linestatus""",
         "q3_top_orders": """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -777,16 +798,17 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""",
         "q5_nation_revenue": """
 SELECT r_name, n_name,
-       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name""",
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name""",
         "top_parts_by_quantity": """
-SELECT p_partkey, p_name, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+SELECT p_partkey, p_name, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_partkey, p_name
 ORDER BY total_qty DESC, p_partkey ASC LIMIT 20""",
@@ -804,17 +826,19 @@ FROM (
 ) WHERE rn = 1""",
         "window_running_customer_totals": """
 SELECT o_custkey, o_orderkey,
-  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
   lag(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_cents
-FROM orders""",
+FROM orders
+ORDER BY o_custkey, o_orderkey""",
         "rollup_returnflag_status": """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+       count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus""",
         "setops_fulfilled_vs_open": """
 SELECT o_custkey AS custkey FROM (
   SELECT DISTINCT o_custkey FROM orders
@@ -826,8 +850,9 @@ SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_
 FROM orders GROUP BY o_orderpriority""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-       sum(CAST(round(value*1000) AS BIGINT)) AS sum_value_milli
-FROM events GROUP BY 1, 2""",
+       CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY 1, 2
+ORDER BY hour, event_type""",
         "events_sliding": """
 SELECT start AS window_start, count(*) AS n FROM (
   SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -835,13 +860,18 @@ SELECT start AS window_start, count(*) AS n FROM (
   FROM events
 ) GROUP BY 1""",
         "events_json": """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
-FROM events GROUP BY event_type""",
+SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
+FROM events GROUP BY event_type
+ORDER BY event_type""",
+        # gap uses floor(epoch) on both engines: Spark's unix_timestamp()
+        # truncates to whole seconds, DuckDB's epoch() keeps microseconds —
+        # a gap landing in (1800, 1801) would otherwise classify differently.
         "events_sessionize": """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -853,9 +883,10 @@ WITH flagged AS (
 ), per_session AS (
   SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
        max(n_events) AS max_session_events
-FROM per_session GROUP BY user_id""",
+FROM per_session GROUP BY user_id
+ORDER BY user_id""",
         # ------------------------------------------------ training-data ops
         "dedup_exact": """
 SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,

@@ -1,6 +1,15 @@
 """Driver-mimicking correctness check: run every __spark_entry__ query on
 Spark and its oracle on DuckDB over the same sf dir; compare row sets
-(columns sorted by name, rows sorted, exact value equality).
+(columns sorted by name, rows sorted, exact value equality) PLUS the two
+residues the driver's value-hash is sensitive to and a set-compare is not
+(VERDICT r1 item 2):
+
+* ARRIVAL ORDER — the driver hashes rows in result order, so both engines
+  must emit the same total order (every query needs a total ORDER BY);
+* PHYSICAL TYPES — DuckDB `sum(BIGINT)` returns HUGEINT (-> arrow
+  decimal128 -> pandas float64), which serializes differently from Spark's
+  bigint even when values are equal. We compare arrow-level type classes
+  and flag decimal/float-vs-int and date-vs-timestamp divergence.
 
     python scripts/check_contract.py [sf_dir] [query ...]
 """
@@ -37,6 +46,26 @@ def normalize(rows, cols):
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return out, [cols[i] for i in order]
+
+
+def _type_class(t: str) -> str:
+    """Coarse physical-type class: any int width is 'int'; decimal/float are
+    their own classes (a decimal128 oracle column vs a bigint Spark column is
+    exactly the HUGEINT serialization bug)."""
+    t = t.lower()
+    if t.startswith(("int", "bigint", "smallint", "tinyint", "uint")) or t in ("long", "short", "byte"):
+        return "int"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("float", "double") or t.startswith("halffloat"):
+        return "float"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("date"):
+        return "date"
+    if t in ("string", "large_string", "varchar", "utf8"):
+        return "string"
+    return t
 
 
 def main():
@@ -76,15 +105,27 @@ def main():
                 print(f"  WARN: 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            arrow = con.execute(oracles[name]).arrow()
+            dcols = arrow.column_names
+            drows = [
+                tuple(arrow.column(c)[i].as_py() for c in dcols)
+                for i in range(arrow.num_rows)
+            ]
+            dtypes = {c: str(arrow.schema.field(c).type) for c in dcols}
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
+        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
         s_norm, s_c = normalize(srows, scols)
         d_norm, d_c = normalize(drows, dcols)
+        type_issues = [
+            f"{c}: spark={stypes[c]} duck={dtypes[c]}"
+            for c in dcols
+            if c in stypes and _type_class(stypes[c]) != _type_class(dtypes[c])
+        ]
+        s_arrival = [tuple(map(str, r)) for r in srows]
+        d_arrival = [tuple(map(str, r)) for r in drows]
         if s_c != d_c:
             print(f"FAIL {name}: column mismatch spark={s_c} duck={d_c}")
             n_fail += 1
@@ -96,8 +137,16 @@ def main():
             for x in list(dset - sset)[:3]:
                 print(f"  duck-only:  {x}")
             n_fail += 1
+        elif type_issues:
+            print(f"FAIL {name}: type-class mismatch (driver hash would differ): {type_issues}")
+            n_fail += 1
         else:
-            print(f"PASS {name}: {len(s_norm)} rows ({wall:.1f}s)")
+            order_note = ""
+            if s_arrival != d_arrival:
+                # r1 evidence says the driver hash is row-order-insensitive
+                # (unordered queries passed); surface as a warning anyway.
+                order_note = " [WARN: arrival order differs — no total ORDER BY]"
+            print(f"PASS {name}: {len(s_norm)} rows ({wall:.1f}s){order_note}")
             n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     spark.stop()
