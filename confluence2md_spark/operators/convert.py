@@ -45,9 +45,14 @@ def is_confluence_mime_col(content: Column) -> Column:
 
 
 def output_name_col(path: Column) -> Column:
-    """A5 output-name mapping (main.go:260-272): .doc -> .md, '+' -> '-'
-    in the basename (our paths have no '+' outside the basename)."""
-    return F.regexp_replace(F.regexp_replace(path, r"\.doc$", ".md"), r"\+", "-")
+    """A5 output-name mapping (main.go:260-272): .doc -> .md, '+' -> '-'.
+    The reference applies the '+' replacement to the BASENAME only (it works
+    on filepath.Base); a '+' in a directory component must survive, so the
+    path is split at the last '/' and only the final segment is rewritten."""
+    base = F.substring_index(path, "/", -1)
+    dirp = F.substr(path, F.lit(1), F.length(path) - F.length(base))
+    new_base = F.regexp_replace(F.regexp_replace(base, r"\.doc$", ".md"), r"\+", "-")
+    return F.concat(dirp, new_base)
 
 
 # ------------------------------------------------------------- C-G convert

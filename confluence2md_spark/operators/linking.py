@@ -78,6 +78,7 @@ def lsh_candidate_pairs(
     mode: str = "chars",
     num_partitions: int | None = None,
     max_bucket_size: int = 200,
+    exact_fallback: bool = True,
 ) -> DataFrame:
     """(src, dst, jaccard) pairs with exact Jaccard >= threshold, found via
     MinHash LSH banding (b=bands, r=k/bands). src < dst.
@@ -98,6 +99,17 @@ def lsh_candidate_pairs(
     ALL bands, including the small buckets keyed by its distinctive
     shingles, so skipping mega-buckets costs ~no recall while restoring
     linear behavior — this is what makes the op safe at 10^12 rows.
+
+    `exact_fallback` closes the one recall hole the mega-bucket cap opens:
+    a pair of IDENTICAL shingle sets whose every band bucket happens to be
+    oversized (possible when the sets are tiny — e.g. 2-token titles whose
+    minhash slots all derive from a ubiquitous token) would lose all bands
+    and silently miss. The fallback joins on xxhash64 of the SORTED shingle
+    set — identical sets always collide there — and emits STAR edges (every
+    member -> the bucket's min id) rather than all pairs: for connected
+    components the star yields the same components, and it stays LINEAR in
+    bucket size where all-pairs on a 10^6-identical-text bucket would be
+    quadratic. Jaccard is 1.0 by construction for these edges.
     """
     assert k % bands == 0, "k must be divisible by bands"
     r = k // bands
@@ -147,8 +159,23 @@ def lsh_candidate_pairs(
     )
 
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    lsh_pairs = (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("src", "dst", "jaccard")
     )
+    if not exact_fallback:
+        return lsh_pairs
+    exact = shingled.select("id", F.xxhash64(F.array_sort("sh")).alias("eh"))
+    bucket_min = (
+        exact.groupBy("eh")
+        .agg(F.min("id").alias("src"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("eh", "src")
+    )
+    star = (
+        exact.join(bucket_min, "eh")
+        .filter(F.col("id") != F.col("src"))
+        .select("src", F.col("id").alias("dst"), F.lit(1.0).alias("jaccard"))
+    )
+    return lsh_pairs.unionByName(star).dropDuplicates(["src", "dst"])

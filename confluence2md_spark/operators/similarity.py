@@ -116,7 +116,7 @@ def lsh_ann_topk(
     k: int = 5,
     bits: int = 4,
     tables: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -126,8 +126,26 @@ def lsh_ann_topk(
     a candidate if it shares a bucket with the query in ANY table — for
     cosine ~0.9 neighbors, miss probability is (1-p^bits)^tables ≈ 0.2%.
     Returns (q, neighbor, cosine, rank). Recall vs brute force is tested in
-    pytest; rows-only driver check (plane constants aren't portable SQL)."""
+    pytest; rows-only driver check (plane constants aren't portable SQL).
+
+    `dim` defaults to the ACTUAL embedding length (one-row probe): a
+    hardcoded mismatch would make zip_with pad with nulls, every hyperplane
+    dot null, every bucket bit 0 — silently degrading LSH to an all-pairs
+    scan. A wrong explicit `dim` fails loudly instead (assert below)."""
     from pyspark.sql import Window
+
+    if dim is None:
+        probe = embeddings.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            dim = 1  # empty input; any plane dim yields an empty result
+        else:
+            dim = int(probe["d"])
+    else:
+        n_bad = embeddings.filter(F.size(vec_col) != dim).limit(1).count()
+        assert n_bad == 0, (
+            f"lsh_ann_topk: explicit dim={dim} does not match the embedding "
+            f"column length — buckets would silently collapse to 0"
+        )
 
     base = embeddings.repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism

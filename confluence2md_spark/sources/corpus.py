@@ -219,4 +219,7 @@ def synth_raw_files(spark, sf_dir: str, replicate: int = 1):
     # task regardless of cluster width.
     docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
     docs.createOrReplaceTempView("documents")
-    return spark.sql(RAW_FILES_SELECT.format(N=n))
+    # .replace, NOT str.format: the template embeds corpus HTML that may one
+    # day contain literal braces (JSON/CSS) — format() would raise KeyError
+    # at runtime on content that is perfectly legal input.
+    return spark.sql(RAW_FILES_SELECT.replace("{N}", str(n)))

@@ -78,6 +78,81 @@ def test_cc_chain_and_cycle_and_isolated(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_lsh_exact_fallback_survives_dropped_buckets(spark):
+    """ADVICE r1: with max_bucket_size=0 every band bucket is dropped, yet
+    identical titles must still pair via the exact-hash star fallback."""
+    from confluence2md_spark.operators.linking import lsh_candidate_pairs
+
+    rows = [(i, f"Page {i}") for i in range(20)] + [(100, "Page 3"), (101, "Page 3")]
+    df = spark.createDataFrame(rows, ["doc_id", "title"])
+    pairs = lsh_candidate_pairs(
+        df, k=16, bands=4, mode="words", max_bucket_size=0, num_partitions=4
+    ).collect()
+    got = {(r["src"], r["dst"]) for r in pairs}
+    # star edges: min id 3 links to both 100 and 101 (not the 100-101 pair)
+    assert (3, 100) in got and (3, 101) in got
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+    # and without the fallback the same input finds nothing
+    none = lsh_candidate_pairs(
+        df, k=16, bands=4, mode="words", max_bucket_size=0,
+        num_partitions=4, exact_fallback=False,
+    ).count()
+    assert none == 0
+
+
+def test_output_name_plus_only_in_basename(spark):
+    from confluence2md_spark.operators.convert import output_name_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a+b/docs/page+7.doc",), ("page+1.doc",), ("x/y.doc",)], ["path"]
+    )
+    out = [r[0] for r in df.select(output_name_col(F.col("path"))).collect()]
+    assert out == ["a+b/docs/page-7.md", "page-1.md", "x/y.md"]
+
+
+def test_ann_lsh_derives_dim_from_data(spark):
+    """ADVICE r1: a non-64-d embedding column must not silently collapse
+    every vector into bucket 0 (null dot products)."""
+    import random
+
+    from confluence2md_spark.operators.similarity import lsh_ann_topk
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = lsh_ann_topk(df, n_queries=3, k=2, bits=2, tables=4)
+    got = out.collect()
+    assert len(got) > 0 and all(r["cosine"] is not None for r in got)
+    import pytest
+
+    with pytest.raises(AssertionError, match="dim"):
+        lsh_ann_topk(df, n_queries=3, k=2, bits=2, tables=4, dim=64)
+
+
+def test_synth_raw_files_tolerates_braces_in_text(spark, tmp_path):
+    """ADVICE r1: corpus text containing literal {}/JSON must not break the
+    template substitution."""
+    import pandas as pd
+
+    from confluence2md_spark.sources.corpus import synth_raw_files
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ['body {"k": 1} and {braces}', "plain", "css { margin: 0 }"],
+            "lang": ["en", "en", "en"],
+            "source": ["s0", "s1", "s2"],
+            "n_chars": [10, 5, 8],
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    rf = synth_raw_files(spark, str(tmp_path))
+    rows = {r["doc_id"]: r["content"] for r in rf.collect()}
+    assert len(rows) == 3
+    assert '{"k": 1}' in rows[0] and "{braces}" in rows[0]
+
+
 def test_cc_fixpoint_guard_fires_on_long_chain(spark):
     """A path graph with diameter > max_iter must NOT return silently wrong
     labels: raise by default, warn when asked (VERDICT r1 item 7)."""
