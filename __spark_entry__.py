@@ -52,6 +52,7 @@ from confluence2md_spark.operators.similarity import (
     brute_force_topk_sql_duck,
     embedding_near_dup_pairs,
     embedding_near_dup_sql_duck,
+    ivf_topk,
     lsh_ann_topk,
 )
 from confluence2md_spark.operators.triples import (
@@ -271,6 +272,23 @@ def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_partitions=spark.sparkContext.defaultParallelism,
         ).persist()
     return _CACHE[key]
+
+
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from confluence2md_spark.operators.mentions import extract_mentions
+
+    return extract_mentions(_pages(spark, sf_dir)).select(
+        "doc_id", "kind", "pos", "surface", "target_raw"
+    ).orderBy("doc_id", "kind", "pos")
+
+
+def _kg_mention_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from confluence2md_spark.operators.mentions import extract_mentions, resolve_mentions
+
+    m = extract_mentions(_pages(spark, sf_dir))
+    return resolve_mentions(
+        m, _pages(spark, sf_dir), _cmap(spark, sf_dir)
+    ).orderBy("doc_id", "pos")
 
 
 def _kg_mime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +584,12 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=20, k=5)
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=20, k=5, n_centroids=32, n_probe=4
+    )
+
+
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
@@ -619,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_linked": _kg_top_linked,
         "kg_unresolved_links": _kg_unresolved_links,
         "kg_repo_skew_census": _kg_repo_skew_census,
+        "kg_mentions": _kg_mentions,
+        "kg_mention_resolution": _kg_mention_resolution,
         "kg_mime_parts": _kg_mime_parts,
         "kg_html_part_selection": _kg_html_part_selection,
         "kg_export_dates": _kg_export_dates,
@@ -648,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embed_near_dup,
         "ann_brute_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         "text_token_stats": _text_tokens,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
@@ -742,6 +769,50 @@ SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_pag
 SELECT CASE WHEN doc_id % 5 < 3 THEN 'repo-hot' ELSE 'repo-' || CAST(doc_id % 17 AS STRING) END AS repo,
        count(*) AS n
 FROM documents GROUP BY 1""",
+        "kg_mentions": f"""
+WITH p AS (
+  SELECT doc_id, source,
+         (doc_id*7+1) % {_N} AS l1, (doc_id*3+2) % {_N} AS l2,
+         CAST(doc_id % 25 AS STRING) AS u,
+         CAST({TITLE_ID_SQL} AS STRING) AS t
+  FROM documents WHERE {IS_PAGE_SQL}
+)
+SELECT doc_id, 'link' AS kind, CAST(0 AS INT) AS pos,
+       'Page ' || CAST(l1 AS STRING) AS surface,
+       '/wiki/spaces/' || source || '/pages/' || CAST(l1 AS STRING) || '/Page-' || CAST(l1 AS STRING) AS target_raw
+FROM p
+UNION ALL
+SELECT doc_id, 'link', CAST(1 AS INT), 'Page ' || CAST(l2 AS STRING),
+       '/wiki/spaces/' || source || '/pages/' || CAST(l2 AS STRING) || '/Page-' || CAST(l2 AS STRING)
+FROM p
+UNION ALL
+SELECT doc_id, 'attachment', CAST(2 AS INT),
+       'spec-' || CAST(doc_id AS STRING) || '.pdf',
+       '/download/attachments/' || CAST(doc_id AS STRING) || '/spec-' || CAST(doc_id AS STRING) || '.pdf'
+FROM p WHERE doc_id % 6 = 0
+UNION ALL
+SELECT doc_id, 'userlink', CAST(0 AS INT), 'User ' || u, 'user' || u FROM p
+UNION ALL
+SELECT doc_id, 'title', CAST(0 AS INT), 'Page ' || t, CAST(NULL AS STRING) FROM p
+ORDER BY doc_id, kind, pos""",
+        "kg_mention_resolution": f"""
+WITH p AS (
+  SELECT doc_id, (doc_id*7+1) % {_N} AS l1, (doc_id*3+2) % {_N} AS l2
+  FROM documents WHERE {IS_PAGE_SQL}
+), m AS (
+  SELECT doc_id, CAST(0 AS INT) AS pos, l1 AS l FROM p
+  UNION ALL
+  SELECT doc_id, CAST(1 AS INT), l2 FROM p
+)
+SELECT doc_id, pos, 'Page ' || CAST(l AS STRING) AS surface,
+       CASE WHEN {is_page_sql('l')} AND l % 10 <> 7 THEN l
+            WHEN l % 10 = 0 AND {is_page_sql('l + 7')} THEN l + 7
+       END AS target_page,
+       'exact' AS method
+FROM m
+WHERE ({is_page_sql('l')} AND l % 10 <> 7)
+   OR (l % 10 = 0 AND {is_page_sql('l + 7')})
+ORDER BY doc_id, pos""",
         "kg_mime_parts": """
 WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 3),
 att AS (SELECT doc_id, 'att-' || CAST(doc_id AS STRING) || '.png' AS fn FROM m)
@@ -909,5 +980,6 @@ SELECT doc_id, 'image/fake' AS media_type,
 FROM documents""",
         # rows-only (engine-specific hashing / approx algorithms):
         # dedup_minhash_pairs, dedup_simhash_pairs, ann_lsh_topk,
-        # text_langid, mm_decode_stub, approx_distinct_customers
+        # ann_ivf_topk, text_langid, mm_decode_stub,
+        # approx_distinct_customers
     }

@@ -48,8 +48,17 @@ def main() -> int:
         try:
             raw = synth_raw_files(spark, SF_DIR, replicate=REPLICATE)
             t0 = time.monotonic()
+            # lean mode: products (pages/edges/nodes) are written, the
+            # non-product intermediates (triples_raw/canon_map tables) are
+            # not — the configuration a throughput-focused production run
+            # would use (round 2; see plans/pipeline.py docstring).
             res = build_kg(
-                spark, raw, wh, run_id=f"bench{attempt}", num_partitions=int(CPUS) * 2
+                spark,
+                raw,
+                wh,
+                run_id=f"bench{attempt}",
+                num_partitions=int(CPUS) * 2,
+                materialize_intermediates=False,
             )
             runs.append((time.monotonic() - t0, res))
         finally:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.canon import build_canonical_map, build_nodes, canonicalize_triples
 from ..operators.convert import convert_pages, is_confluence_mime_col
+from ..operators.mentions import extract_mentions
 from ..operators.triples import extract_all_triples
 from ..sources.catalog import load_table, write_table
 from .checkpoint import CheckpointManager
@@ -48,10 +49,22 @@ def build_kg(
     num_partitions: int | None = None,
     link_threshold: float = 0.8,
     dry_run: bool = False,
+    materialize_intermediates: bool = True,
 ) -> KgBuildResult:
     """`dry_run=True` is the reference's --dry-run (main.go:204-207) at
     pipeline scale: every stage is computed and counted (lineage recorded),
-    but nothing is written and no manifests are created."""
+    but nothing is written and no manifests are created.
+
+    `materialize_intermediates=False` (lean mode) skips the sinks that are
+    not products: `triples_raw` stays a lazy expression fused into the
+    edges job (its dedup is subsumed by the canonical groupBy), and
+    `canon_map` lives as the CC operator's localCheckpoint instead of a
+    parquet table. On this sandbox's single shared disk the intermediate
+    sink+readback traffic is the measured residual holding N->4N scaling
+    below the 0.8 gate (BASELINE.md); on a real cluster lean mode likewise
+    removes two full write+read round-trips from the critical path. The
+    trade: those two stages are no longer resume points (pages/edges/nodes
+    still are), so the default keeps them materialized."""
     ckpt = CheckpointManager(warehouse, run_id)
     lineage = LineageLog(warehouse, run_id)
     res = KgBuildResult(run_id=run_id, warehouse=warehouse)
@@ -100,22 +113,67 @@ def build_kg(
             )
         return convert_pages(conf, prefilter=False)
 
-    pages = stage("pages", s1)
-    triples = stage("triples_raw", lambda: extract_all_triples(pages))
+    if materialize_intermediates or dry_run:
+        pages = stage("pages", s1)
+    else:
+        # Lean mode: write the pages product ONCE but keep the in-memory
+        # copy (MEMORY_AND_DISK) as the source for the three downstream
+        # consumers (canon_map titles, edges extraction, nodes). The default
+        # path re-reads the pages table from storage per consumer — correct
+        # for resume isolation, but on the measured bottleneck (edges stage
+        # scaled 1.3x from 2->8 cores: single-disk scan bound) the cache
+        # trades disk bandwidth, which does not scale with cores, for
+        # memory bandwidth, which does.
+        if not dry_run and ckpt.is_complete("pages"):
+            res.resumed_stages.append("pages")
+            pages = load_table(spark, warehouse, "pages")
+            res.stage_rows["pages"] = pages.count()
+            res.stage_wall_s["pages"] = 0.0
+        else:
+            t0 = time.monotonic()
+            pages = s1().persist()
+            path = write_table(pages, warehouse, "pages")
+            wall = time.monotonic() - t0
+            res.stage_rows["pages"] = lineage.record_stage(
+                "pages", pages, wall * 1000
+            )
+            res.stage_wall_s["pages"] = wall
+            ckpt.mark_complete("pages", path)
     # Linking/CC operate on titles (tiny rows): partition by data volume, not
     # cluster width — oversizing these stages costs more in task scheduling
     # than the work itself (see build_canonical_map docstring).
     p_small = max(4, min(num_partitions, res.stage_rows["pages"] // 20_000 + 1))
-    cmap = stage(
-        "canon_map",
-        lambda: build_canonical_map(
+    if materialize_intermediates or dry_run:
+        # first-class mentions table (SURVEY §1.2): raw mention occurrences
+        # for auditing linking recall; not on the edges critical path, so
+        # lean mode skips it.
+        stage("mentions", lambda: extract_mentions(pages))
+        triples = stage("triples_raw", lambda: extract_all_triples(pages))
+        cmap = stage(
+            "canon_map",
+            lambda: build_canonical_map(
+                pages, threshold=link_threshold, num_partitions=p_small
+            ),
+        )
+    else:
+        triples = extract_all_triples(pages)  # fused into the edges job
+        # build_canonical_map materializes eagerly regardless (LSH pairs and
+        # CC labels are localCheckpoints), so time it as its own stage even
+        # though nothing hits the warehouse.
+        t0 = time.monotonic()
+        cmap = build_canonical_map(
             pages, threshold=link_threshold, num_partitions=p_small
-        ),
-    )
+        )
+        res.stage_rows["canon_map"] = lineage.record_stage(
+            "canon_map", cmap, (time.monotonic() - t0) * 1000, status="ephemeral"
+        )
+        res.stage_wall_s["canon_map"] = time.monotonic() - t0
     edges = stage(
         "edges",
         lambda: canonicalize_triples(triples, cmap),
         partition_by=["pred"],
     )
     stage("nodes", lambda: build_nodes(pages, cmap, edges))
+    if not (materialize_intermediates or dry_run):
+        pages.unpersist()
     return res

@@ -15,8 +15,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-_ICEBERG = os.environ.get("KG_USE_ICEBERG", "") == "1"
-_NAMESPACE = os.environ.get("KG_NAMESPACE", "kg")
+def _use_iceberg() -> bool:
+    # read at CALL time (not import) so tests and long-lived drivers can
+    # toggle the backend without re-importing the module
+    return os.environ.get("KG_USE_ICEBERG", "") == "1"
+
+
+def _namespace() -> str:
+    return os.environ.get("KG_NAMESPACE", "kg")
+
+
+_NAMESPACE = _namespace()
 
 # Cluster-side DDL (documented here, executed when KG_USE_ICEBERG=1 on a
 # Spark with the Iceberg runtime): partition transforms chosen per table —
@@ -46,19 +55,24 @@ CREATE TABLE IF NOT EXISTS {_NAMESPACE}.nodes (
   node_id STRING, node_type STRING, canonical_name STRING,
   aliases ARRAY<STRING>, repo STRING)
 USING iceberg PARTITIONED BY (node_type)""",
+    "mentions": f"""
+CREATE TABLE IF NOT EXISTS {_NAMESPACE}.mentions (
+  doc_id BIGINT, kind STRING, surface STRING, target_raw STRING,
+  pos INT, context STRING)
+USING iceberg PARTITIONED BY (kind)""",
 }
 
 
 def ensure_tables(spark: SparkSession) -> None:
     """Create the Iceberg tables (no-op in the parquet-backed sandbox)."""
-    if _ICEBERG:
+    if _use_iceberg():
         for ddl in ICEBERG_DDL.values():
             spark.sql(ddl)
 
 
 def load_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
-    if _ICEBERG:
-        return spark.read.table(f"{_NAMESPACE}.{name}")
+    if _use_iceberg():
+        return spark.read.table(f"{_namespace()}.{name}")
     return spark.read.parquet(os.path.join(warehouse, name))
 
 
@@ -70,13 +84,14 @@ def write_table(
     partition_by: list[str] | None = None,
 ) -> str:
     """Write a stage table; returns its path (the checkpoint manifest key)."""
-    if _ICEBERG:
-        writer = df.writeTo(f"{_NAMESPACE}.{name}")
+    if _use_iceberg():
+        ns = _namespace()
+        writer = df.writeTo(f"{ns}.{name}")
         if mode == "overwrite":
             writer.createOrReplace()
         else:
             writer.append()
-        return f"{_NAMESPACE}.{name}"
+        return f"{ns}.{name}"
     path = os.path.join(warehouse, name)
     w = df.write.mode(mode)
     if partition_by:

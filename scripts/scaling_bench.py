@@ -62,6 +62,7 @@ def run_once(cores: int, table: str) -> dict:
                 "--run-id", f"scale{cores}",
                 "--master", f"local[{cores}]",
                 "--partitions", str(cores * 2),
+                "--lean",
             ],
             capture_output=True,
             text=True,

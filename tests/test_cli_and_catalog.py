@@ -1,0 +1,127 @@
+"""Reference CLI surface parity (main.go / main_test.go taxonomy) on
+jobs/build_kg.py, plus the Iceberg catalog seam (VERDICT r1 items 9-10).
+
+The e2e error paths run WITHOUT a SparkSession (they fail before Spark
+starts), so these tests are fast; the empty-corpus path and the Iceberg
+writeTo branch use the shared session / mocks.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stderr, redirect_stdout
+from unittest import mock
+
+import pytest
+
+sys.path.insert(0, "/root/repo/jobs")
+import build_kg as cli  # noqa: E402
+
+from confluence2md_spark.sources import catalog  # noqa: E402
+
+
+# ------------------------------------------------------------------- CLI --
+
+def _run(argv):
+    out, err = io.StringIO(), io.StringIO()
+    with redirect_stdout(out), redirect_stderr(err):
+        try:
+            code = cli.main(argv)
+        except SystemExit as ex:  # usage errors raise
+            code = ex.code
+    return code, out.getvalue(), err.getvalue()
+
+
+def test_version_exits_zero_with_version_string():
+    # main_test.go TestRun_Version
+    code, out, _ = _run(["--version"])
+    assert code == 0
+    assert out.startswith("confluence2md-spark ") and cli.__version__ in out
+
+
+def test_no_args_usage_on_stderr_exit_one():
+    # main_test.go TestRun_NoArgs: usage text on stderr, exit 1 (not 2)
+    code, out, err = _run([])
+    assert code == 1
+    assert "Usage:" in err and out == ""
+
+
+def test_missing_warehouse_is_usage_error():
+    code, _, err = _run(["--sf-dir", "/root/testdata/sf0.001"])
+    assert code == 1 and "warehouse" in err
+
+
+def test_nonexistent_table_errors_exit_one(tmp_path):
+    # main_test.go TestRun_NonExistentFile / TestConvertFile_NonExistentInput
+    code, _, err = _run(
+        ["--table", "/nonexistent/raw_files", "--warehouse", str(tmp_path)]
+    )
+    assert code == 1 and err.startswith("Error: ")
+
+
+def test_nonexistent_sf_dir_errors_exit_one(tmp_path):
+    code, _, err = _run(["--sf-dir", "/nonexistent", "--warehouse", str(tmp_path)])
+    assert code == 1 and err.startswith("Error: ")
+
+
+def test_no_confluence_docs_is_clean_noop(spark, tmp_path):
+    # main.go convertDirectory: 'No .doc files found' -> exit 0, nothing
+    # done. Subprocess: cli.main() stops its SparkSession on exit, which
+    # would kill the shared pytest session if run in-process.
+    import subprocess
+
+    src = spark.createDataFrame(
+        [("r", "a.py", "c", "python", "print(1)", 0)],
+        ["repo", "path", "commit", "lang", "content", "doc_id"],
+    )
+    table = str(tmp_path / "raw")
+    src.write.parquet(table)
+    out = subprocess.run(
+        [sys.executable, "jobs/build_kg.py", "--table", table,
+         "--warehouse", str(tmp_path / "wh"), "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0
+    assert "No Confluence MIME documents found" in out.stdout
+
+
+# --------------------------------------------------------------- catalog --
+
+def test_iceberg_ddl_strings_parse(spark):
+    """Every DDL must be valid Spark SQL syntax (parser only — the sandbox
+    has no Iceberg jars, so execution is exercised via mocks below)."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for name, ddl in catalog.ICEBERG_DDL.items():
+        plan = parser.parsePlan(ddl)  # raises ParseException on bad syntax
+        assert "iceberg" in ddl and name in ddl
+
+
+def test_iceberg_write_and_load_branch(monkeypatch):
+    monkeypatch.setenv("KG_USE_ICEBERG", "1")
+    monkeypatch.setenv("KG_NAMESPACE", "testns")
+    df = mock.MagicMock()
+    path = catalog.write_table(df, "/ignored", "edges", mode="overwrite")
+    assert path == "testns.edges"
+    df.writeTo.assert_called_once_with("testns.edges")
+    df.writeTo.return_value.createOrReplace.assert_called_once()
+
+    df2 = mock.MagicMock()
+    catalog.write_table(df2, "/ignored", "edges", mode="append")
+    df2.writeTo.return_value.append.assert_called_once()
+
+    sp = mock.MagicMock()
+    catalog.load_table(sp, "/ignored", "nodes")
+    sp.read.table.assert_called_once_with("testns.nodes")
+
+    ens = mock.MagicMock()
+    catalog.ensure_tables(ens)
+    assert ens.sql.call_count == len(catalog.ICEBERG_DDL)
+
+
+def test_parquet_branch_unaffected_by_env(monkeypatch, tmp_path, spark):
+    monkeypatch.delenv("KG_USE_ICEBERG", raising=False)
+    df = spark.range(3).toDF("x")
+    path = catalog.write_table(df, str(tmp_path), "t")
+    got = catalog.load_table(spark, str(tmp_path), "t")
+    assert got.count() == 3 and path.endswith("/t")

@@ -57,7 +57,7 @@ def test_resume_is_identity(spark, sf_dir, built):
     wh, _ = built
     raw = synth_raw_files(spark, sf_dir)
     res2 = build_kg(spark, raw, wh, run_id="t1")
-    assert set(res2.resumed_stages) == {"pages", "triples_raw", "canon_map", "edges", "nodes"}
+    assert set(res2.resumed_stages) == {"pages", "mentions", "triples_raw", "canon_map", "edges", "nodes"}
 
 
 def test_partial_resume_recomputes_only_missing(spark, sf_dir, built):
@@ -70,7 +70,7 @@ def test_partial_resume_recomputes_only_missing(spark, sf_dir, built):
         os.remove(os.path.join(wh, "_manifests", "t1", f"{stage}.json"))
     raw = synth_raw_files(spark, sf_dir)
     res = build_kg(spark, raw, wh, run_id="t1")
-    assert set(res.resumed_stages) == {"pages", "triples_raw", "canon_map"}
+    assert set(res.resumed_stages) == {"pages", "mentions", "triples_raw", "canon_map"}
     after = spark.read.parquet(f"{wh}/edges")
     after_rows = {tuple(r) for r in after.select("subj", "pred", "obj").collect()}
     assert before_rows == after_rows
@@ -83,13 +83,30 @@ def test_lineage_populated(built):
     with open(path) as f:
         rows = [json.loads(line) for line in f]
     stages = {r["stage"] for r in rows}
-    assert stages == {"pages", "triples_raw", "canon_map", "edges", "nodes"}
+    assert stages == {"pages", "mentions", "triples_raw", "canon_map", "edges", "nodes"}
     per_stage = {}
     for r in rows:
         per_stage.setdefault(r["stage"], 0)
         per_stage[r["stage"]] += r["rows_out"]
         assert r["wall_ms"] >= 0 and r["partition_id"] >= 0
     assert per_stage["pages"] == res.stage_rows["pages"]
+
+
+def test_lean_mode_same_products_no_intermediate_sinks(spark, sf_dir, built, tmp_path):
+    """materialize_intermediates=False must write byte-identical edges/nodes
+    while leaving no triples_raw/canon_map tables on disk."""
+    wh_full, _ = built
+    wh = str(tmp_path / "leanwh")
+    raw = synth_raw_files(spark, sf_dir)
+    res = build_kg(spark, raw, wh, run_id="lean", materialize_intermediates=False)
+    assert not os.path.exists(os.path.join(wh, "triples_raw"))
+    assert not os.path.exists(os.path.join(wh, "canon_map"))
+    assert os.path.exists(os.path.join(wh, "edges"))
+    assert "canon_map" in res.stage_wall_s  # timed even though not sunk
+    for table in ("edges", "nodes"):
+        a = spark.read.parquet(os.path.join(wh_full, table))
+        b = spark.read.parquet(os.path.join(wh, table))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
 def test_dry_run_writes_nothing(spark, sf_dir, tmp_path):
