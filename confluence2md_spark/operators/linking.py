@@ -172,13 +172,19 @@ def lsh_candidate_pairs(
             "id", "sh", minhash_signature_col(F.col("sh"), k=k, seed=seed).alias("sig")
         ).repartition(num_partitions, "id")
 
-    # Band rows carry ONLY (id, band_idx, band_hash): the shingle arrays are
-    # joined back for the (few) surviving candidates below. Carrying sh
-    # through the bands-wide explode would shuffle every document's full
-    # shingle array `bands` times through the self-join — at sf0.1 that is
-    # ~200 MB of array bytes for a candidate set of a few dozen pairs.
+    # Shingle placement is mode-dependent, and measurably so in BOTH
+    # directions: for word_ngrams (documents, ~600-long arrays) carrying sh
+    # through the bands-wide explode shuffles ~200 MB of array bytes
+    # through the self-join for a candidate set of a few dozen pairs — so
+    # band rows stay (id, band_idx, band_hash) and sh joins back for the
+    # survivors. For words/chars (titles, 2-3-long arrays) those two extra
+    # join-back shuffles of the full id space cost MORE than the tiny
+    # arrays they avoid carrying (measured +6 s on 517k titles) — so short
+    # modes carry sh inline, exactly like round 1.
+    carry_sh = mode != "word_ngrams"
+    band_cols = ["id", "sh"] if carry_sh else ["id"]
     banded = sigd.select(
-        "id",
+        *band_cols,
         F.posexplode(
             F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)])
         ).alias("band_idx", "band_hash"),
@@ -195,18 +201,32 @@ def lsh_candidate_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-        .join(shingled.select(F.col("id").alias("src"), F.col("sh").alias("sh_a")), "src")
-        .join(shingled.select(F.col("id").alias("dst"), F.col("sh").alias("sh_b")), "dst")
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")),
     )
+    if carry_sh:
+        cand = joined.select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        ).dropDuplicates(["src", "dst"])
+    else:
+        cand = (
+            joined.select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+            .join(
+                shingled.select(F.col("id").alias("src"), F.col("sh").alias("sh_a")),
+                "src",
+            )
+            .join(
+                shingled.select(F.col("id").alias("dst"), F.col("sh").alias("sh_b")),
+                "dst",
+            )
+        )
 
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     lsh_pairs = (
