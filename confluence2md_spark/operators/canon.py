@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .components import connected_components
-from .linking import lsh_candidate_pairs
+from .linking import token_block_pairs
 
 
 def build_canonical_map(
@@ -35,21 +35,19 @@ def build_canonical_map(
     titles). The pipeline passes rows//20k clamped to the cluster width.
     """
     ok = pages.filter(F.col("status") == "ok").select("doc_id", "title")
-    # Word-token shingles for titles: char n-grams over-merge short strings
+    # Word tokens for titles: char n-grams over-merge short strings
     # ('Page 1' vs 'Page 10' share ≥80% of 3-grams); token sets only collide
     # on (near-)identical titles, which is the alias semantics we want.
-    # k=16/b=4: with 2-3-token title sets, word-token Jaccard is either 1.0
-    # (identical set — every band matches at ANY k) or ≤ 1/3 (filtered by
-    # the exact-Jaccard verify), so halving the signature width loses no
-    # recall and halves signature/banding work.
-    pairs = lsh_candidate_pairs(
+    # Candidate generation is the deterministic df-capped token inverted
+    # index (round 2): for 2-3-token sets MinHash banding is probabilistic
+    # AND pays ~9 s of cold-JIT for its nested array exprs per fresh JVM —
+    # measured as the single non-scaling stage of the whole pipeline.
+    # Documents (large shingle sets) still go through lsh_candidate_pairs.
+    pairs = token_block_pairs(
         ok,
         id_col="doc_id",
         text_col="title",
-        k=16,
-        bands=4,
         threshold=threshold,
-        mode="words",
         num_partitions=num_partitions,
     )
     # Materialize the candidate pairs BEFORE iterating: otherwise every CC

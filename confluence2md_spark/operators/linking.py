@@ -107,6 +107,80 @@ def _with_numpy_signatures(shingled: DataFrame, k: int, seed: int) -> DataFrame:
     )
 
 
+def token_block_pairs(
+    entities: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "title",
+    threshold: float = 0.8,
+    max_token_df: int = 100,
+    num_partitions: int | None = None,
+    exact_fallback: bool = True,
+) -> DataFrame:
+    """(src, dst, jaccard) pairs with exact token-set Jaccard >= threshold,
+    via a df-capped inverted index — the SHORT-STRING candidate generator.
+
+    For 2-5-token strings (titles), MinHash banding is both probabilistic
+    (candidate prob = jaccard^r per band — a near-dup pair can simply never
+    surface) and expensive to codegen (nested higher-order array exprs
+    measured ~9 s of cold-JIT per fresh JVM). An inverted index over
+    non-ubiquitous tokens is DETERMINISTIC — it finds every pair sharing at
+    least one token rarer than `max_token_df` — and compiles to trivial
+    expressions. Candidate volume is bounded by sum(df^2) over kept tokens
+    <= max_token_df * total_token_occurrences, i.e. linear in corpus size
+    for a fixed cap.
+
+    Recall accounting (same discipline as the LSH mega-bucket cap): a pair
+    whose shared tokens are ALL hot is dropped — for small token sets such
+    a pair has high Jaccard only if the strings are (near-)identical, and
+    byte-identical texts are always caught by the `exact_fallback` star
+    join on the full token-sequence hash, which ignores the df cap.
+    Long documents should keep using `lsh_candidate_pairs(mode=
+    'word_ngrams')`: their shingle sets are large, so an inverted index
+    would explode while banding concentrates.
+    """
+    if num_partitions is None:
+        num_partitions = entities.sparkSession.sparkContext.defaultParallelism
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    base = entities.select(F.col(id_col).alias("id"), toks.alias("tk")).repartition(
+        num_partitions, "id"
+    )
+    occ = base.select("id", "tk", F.explode("tk").alias("tok"))
+    hot = occ.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
+    kept = occ.join(hot, "tok", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.col("a.tk").alias("tk_a"),
+            F.col("b.tk").alias("tk_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    jac = F.size(F.array_intersect("tk_a", "tk_b")) / F.size(F.array_union("tk_a", "tk_b"))
+    pairs = (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+    if not exact_fallback:
+        return pairs
+    exact = base.select("id", F.xxhash64("tk").alias("eh"))
+    bucket_min = (
+        exact.groupBy("eh")
+        .agg(F.min("id").alias("src"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("eh", "src")
+    )
+    star = (
+        exact.join(bucket_min, "eh")
+        .filter(F.col("id") != F.col("src"))
+        .select("src", F.col("id").alias("dst"), F.lit(1.0).alias("jaccard"))
+    )
+    return pairs.unionByName(star).dropDuplicates(["src", "dst"])
+
+
 def lsh_candidate_pairs(
     entities: DataFrame,
     id_col: str = "doc_id",
