@@ -43,6 +43,14 @@ def shingle_hashes_col(text: Column, n: int = 3, mode: str = "chars") -> Column:
     """
     t = F.lower(text)
     if mode == "words":
+        # FULL 64-bit hashes. Folding to [0, 2^31) here was a round-1-3
+        # correctness bug: the exact-Jaccard verify ran on folded hashes,
+        # and at 640k distinct tokens the expected number of 31-bit
+        # birthday collisions (~n^2/2^32 ≈ 95) made distinct titles verify
+        # as identical — measured 61 over-merged alias pairs against the
+        # closed-form oracle. The [0, 2^31) fold lives INSIDE
+        # minhash_signature_col, where it only has to protect the ANSI
+        # (a*h+b) arithmetic, not equality semantics.
         shingles = F.array_distinct(F.split(F.trim(t), r"\s+"))
     elif mode == "word_ngrams":
         # Hash each TOKEN once, then hash the n-long slice of token hashes —
@@ -55,22 +63,27 @@ def shingle_hashes_col(text: Column, n: int = 3, mode: str = "chars") -> Column:
         th = F.transform(toks, lambda x: F.xxhash64(x))
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
         return F.array_distinct(
-            F.transform(
-                idx, lambda i: F.pmod(F.xxhash64(F.slice(th, i + 1, n)), F.lit(_MERSENNE))
-            )
+            F.transform(idx, lambda i: F.xxhash64(F.slice(th, i + 1, n)))
         )
     else:
         idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
         shingles = F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
 def minhash_signature_col(hashes: Column, k: int = 32, seed: int = 42) -> Column:
-    """array<long> length-k MinHash signature over a shingle-hash array."""
+    """array<long> length-k MinHash signature over a shingle-hash array.
+
+    Shingle hashes arrive as FULL 64-bit values (equality semantics); the
+    [0, 2^31) fold happens here, per permutation, solely so a*h+b stays
+    below 2^62 under Spark 4's ANSI overflow checking. A fold collision
+    only perturbs one permutation's min — it can no longer make two
+    different shingle SETS compare equal."""
     perms = _permutations(k, seed)
+    folded = F.transform(hashes, lambda h: F.pmod(h, F.lit(_MERSENNE)))
     return F.array(
         *[
-            F.array_min(F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE))))
+            F.array_min(F.transform(folded, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE))))
             for a, b in perms
         ]
     )
@@ -99,6 +112,10 @@ def _with_numpy_signatures(shingled: DataFrame, k: int, seed: int) -> DataFrame:
                 h = np.asarray(sh, dtype=np.int64)
                 if h.size == 0:
                     h = np.zeros(1, dtype=np.int64)
+                # fold to [0, 2^31) BEFORE the permutation product, exactly
+                # like the JVM path (numpy % matches Spark pmod sign
+                # semantics; unfolded h*a would wrap int64 silently here)
+                h = h % _MERSENNE
                 sigs.append(((h[:, None] * a + b) % _MERSENNE).min(axis=0))
             yield pd.DataFrame({"id": pdf["id"], "sh": pdf["sh"], "sig": sigs})
 
