@@ -71,6 +71,13 @@ def build_kg(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
+    # Lean mode trades K3 audit depth for throughput: stage-level lineage
+    # rows (metadata-only parquet counts) instead of the per-partition
+    # census, which costs one extra full pass over every stage output.
+    record = (
+        lineage.record_stage if materialize_intermediates else lineage.record_stage_light
+    )
+
     def stage(name: str, compute, partition_by=None):
         if not dry_run and ckpt.is_complete(name):
             res.resumed_stages.append(name)
@@ -89,7 +96,7 @@ def build_kg(
         path = write_table(out, warehouse, name, partition_by=partition_by)
         df = load_table(spark, warehouse, name)
         wall = time.monotonic() - t0
-        res.stage_rows[name] = lineage.record_stage(name, df, wall * 1000)
+        res.stage_rows[name] = record(name, df, wall * 1000)
         res.stage_wall_s[name] = wall
         ckpt.mark_complete(name, path)
         return df
@@ -134,9 +141,7 @@ def build_kg(
             pages = s1().persist()
             path = write_table(pages, warehouse, "pages")
             wall = time.monotonic() - t0
-            res.stage_rows["pages"] = lineage.record_stage(
-                "pages", pages, wall * 1000
-            )
+            res.stage_rows["pages"] = record("pages", pages, wall * 1000)
             res.stage_wall_s["pages"] = wall
             ckpt.mark_complete("pages", path)
     # Linking/CC operate on titles (tiny rows): partition by data volume, not
@@ -164,7 +169,7 @@ def build_kg(
         cmap = build_canonical_map(
             pages, threshold=link_threshold, num_partitions=p_small
         )
-        res.stage_rows["canon_map"] = lineage.record_stage(
+        res.stage_rows["canon_map"] = record(
             "canon_map", cmap, (time.monotonic() - t0) * 1000, status="ephemeral"
         )
         res.stage_wall_s["canon_map"] = time.monotonic() - t0

@@ -99,7 +99,13 @@ def main(argv: list[str] | None = None) -> int:
     from confluence2md_spark.session import get_spark
     from confluence2md_spark.sources.corpus import synth_raw_files
 
-    spark = get_spark(app_name=f"kg-build-{args.run_id}", master=args.master)
+    spark = get_spark(
+        app_name=f"kg-build-{args.run_id}",
+        master=args.master,
+        # size the shuffle to the requested width (AQE coalesces further);
+        # the env default (32) is tuned for the full local[32] box
+        shuffle_partitions=args.partitions,
+    )
     try:
         if args.table:
             raw = spark.read.parquet(args.table)

@@ -10,11 +10,14 @@ wall, excluding JVM/session startup) at both levels and
 Usage: python scripts/scaling_bench.py [sf_dir] [replicate] [lo] [hi]
 Prints one JSON line; paste results into BASELINE.md / BENCH notes.
 
-Default N=2 -> 4N=8: an OS-process microbenchmark (BASELINE.md) shows this
-sandbox's per-core throughput HALVES beyond ~16 concurrent processes (SMT
-sharing), capping any CPU-bound 8->32 efficiency at ~0.53 regardless of the
-software. 2->8 scales at ~0.89 at the OS level, so that pair measures the
-pipeline rather than the VM's SMT ceiling.
+Default N=1 -> 4N=4 (round 2; r1 used 2->8): an OS-process microbenchmark
+(BASELINE.md) shows this sandbox's per-core throughput is flat to ~8
+concurrent processes, -10% by 16, halved at 32 (SMT sharing). A local[N]
+pipeline run keeps ~2N processes busy — N JVM task threads PLUS N Python
+(Arrow UDF) workers — so local[8] already runs ~16 busy procs, inside the
+VM's own falloff. local[1] -> local[4] (~2 -> ~8 busy procs) is the widest
+N->4N pair that stays in the flat region and therefore measures the
+PIPELINE's scaling, not the host's SMT ceiling.
 """
 
 from __future__ import annotations
@@ -61,7 +64,7 @@ def run_once(cores: int, table: str) -> dict:
                 "--warehouse", wh,
                 "--run-id", f"scale{cores}",
                 "--master", f"local[{cores}]",
-                "--partitions", str(cores * 2),
+                "--partitions", str(max(2, cores * 2)),
                 "--lean",
             ],
             capture_output=True,
@@ -95,8 +98,8 @@ def run_best(cores: int, table: str, repeats: int) -> dict:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     table = materialize_input(sf_dir, replicate)
     r_lo = run_best(lo, table, repeats)
