@@ -24,6 +24,14 @@ Unknown block tags (``div``, ``details`` …) pass through verbatim as raw
 HTML — pandoc's raw-HTML behavior — so the post-processing stage can
 rewrite Confluence macro/expander/panel divs (markdown.go:362-415).
 
+General-HTML coverage beyond the Confluence subset (round 2): definition
+lists render in pandoc's no-definition-lists fallback shape (bold term +
+indented definitions); tables whose cells contain block content (nested
+tables, lists, code blocks) fall back to raw HTML exactly as pandoc's gfm
+writer does (pipe tables are strictly inline-per-cell); ``sub/sup/ins/
+small/mark/kbd/u/span`` stay raw inline HTML (gfm has no syntax for them —
+that IS pandoc's behavior, not a shortcut).
+
 Implementation: stdlib ``html.parser`` → small node tree → renderer.  Pure
 function of its input; no I/O; vectorizes inside pandas UDF batches.
 """
@@ -41,7 +49,12 @@ _UNWRAP_TAGS = {"html", "body"}
 _BLOCK_TAGS = {
     "p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "pre",
     "blockquote", "table", "thead", "tbody", "tr", "th", "td", "hr",
+    "dl", "dt", "dd",
 }
+# inline tags GFM has no syntax for: pandoc -t gfm keeps them as raw HTML
+_RAW_INLINE_TAGS = {"u", "span", "sub", "sup", "ins", "small", "mark", "kbd"}
+# block content that disqualifies a table from GFM pipe syntax
+_CELL_BLOCK_TAGS = {"table", "ul", "ol", "pre", "blockquote", "dl"}
 _LANG_RE = re.compile(r"language-([\w#+-]+)")
 
 
@@ -154,6 +167,8 @@ class _Renderer:
             return ["\n".join("> " + line if line else ">" for line in inner.split("\n"))]
         if t in ("ul", "ol"):
             return [self._render_list(n)]
+        if t == "dl":
+            return [self._render_dl(n)]
         if t == "table":
             return [self._render_table(n)]
         # raw passthrough block (div/details/summary/unknown): keep the
@@ -208,7 +223,60 @@ class _Renderer:
                 lines.append(sp)
         return "\n".join(lines)
 
+    def _render_dl(self, n: _Node) -> str:
+        """Definition list. GFM has no syntax for these; this follows
+        pandoc's no-definition-lists fallback shape: the term as its own
+        (bold) paragraph, each definition as an indented paragraph."""
+        lines: list[str] = []
+        for c in n.children:
+            if c.tag == "dt":
+                term = _collapse_ws(self._render_inline_nodes(c.children)).strip()
+                if term:
+                    if lines:
+                        lines.append("")
+                    lines.append(f"**{term}**")
+            elif c.tag == "dd":
+                inner = "\n\n".join(self._render_blocks(c.children)) or _collapse_ws(
+                    self._render_inline_nodes(c.children)
+                ).strip()
+                for para in inner.split("\n"):
+                    lines.append(("    " + para) if para else "")
+        return "\n".join(lines)
+
+    def _has_block_descendant(self, n: _Node) -> bool:
+        for c in n.children:
+            if c.tag in _CELL_BLOCK_TAGS:
+                return True
+            if c.tag and self._has_block_descendant(c):
+                return True
+        return False
+
+    def _to_html(self, n: _Node) -> str:
+        """Serialize a subtree back to HTML (raw-fallback path)."""
+        if n.tag == "":
+            return n.raw
+        open_tag = n.raw or f"<{n.tag}>"
+        if n.tag in _VOID_TAGS:
+            return open_tag
+        inner = "".join(self._to_html(c) for c in n.children)
+        return f"{open_tag}{inner}</{n.tag}>"
+
     def _render_table(self, n: _Node) -> str:
+        # GFM pipe tables are strictly inline-per-cell: a cell holding a
+        # nested table / list / code block cannot be expressed. pandoc's
+        # gfm writer falls back to raw HTML for such tables — do the same.
+        for tr_holder in n.children:
+            rows_src = (
+                tr_holder.children
+                if tr_holder.tag in ("thead", "tbody", "tfoot")
+                else [tr_holder]
+            )
+            for tr in rows_src:
+                if tr.tag != "tr":
+                    continue
+                for cell in tr.children:
+                    if cell.tag in ("th", "td") and self._has_block_descendant(cell):
+                        return self._to_html(n)
         rows: list[list[str]] = []
         header: list[str] | None = None
 
@@ -284,7 +352,7 @@ class _Renderer:
             return "\n"
         if t in _DROP_TAGS:
             return ""
-        if t in ("u", "span", "sub", "sup"):
+        if t in _RAW_INLINE_TAGS:
             # raw passthrough inline (pandoc keeps these as raw HTML in gfm)
             inner = self._render_inline_nodes(n.children)
             open_tag = n.raw or f"<{t}>"

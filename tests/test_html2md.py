@@ -157,3 +157,47 @@ def test_extract_title():
 def test_double_encoded_roundtrip():
     md = convert_html_to_markdown("&lt;h1&gt;Decoded Title&lt;/h1&gt;")
     assert "# Decoded Title" in md
+
+
+# ---- round-2 general-HTML coverage (VERDICT r1 "missing" item 2) ----------
+
+def test_definition_list_pandoc_fallback_shape():
+    md = html_to_markdown(
+        "<dl><dt>Term A</dt><dd>Definition one.</dd>"
+        "<dt>Term B</dt><dd><p>Def para.</p><p>Second para.</p></dd></dl>"
+    )
+    assert "**Term A**" in md
+    assert "    Definition one." in md
+    assert "**Term B**" in md
+    assert "    Def para." in md and "    Second para." in md
+    assert "<dl>" not in md  # GFM output, not raw passthrough
+
+
+def test_nested_table_in_cell_falls_back_to_raw_html():
+    html = (
+        "<table><tr><th>H</th></tr>"
+        "<tr><td><table><tr><td>inner</td></tr></table></td></tr></table>"
+    )
+    md = html_to_markdown(html)
+    # pandoc gfm emits non-simple tables as raw HTML, not a broken pipe table
+    assert md.strip().startswith("<table>")
+    assert "inner" in md and "| H |" not in md
+
+
+def test_list_in_cell_falls_back_to_raw_html():
+    md = html_to_markdown(
+        "<table><tr><td><ul><li>a</li><li>b</li></ul></td></tr></table>"
+    )
+    assert md.strip().startswith("<table>") and "<ul>" in md
+
+
+def test_simple_table_still_gfm():
+    md = html_to_markdown(
+        "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>"
+    )
+    assert "| A | B |" in md and "| 1 | 2 |" in md
+
+
+def test_sub_sup_ins_kept_as_raw_inline():
+    md = html_to_markdown("<p>H<sub>2</sub>O and x<sup>2</sup> and <ins>new</ins></p>")
+    assert "<sub>2</sub>" in md and "<sup>2</sup>" in md and "<ins>new</ins>" in md
