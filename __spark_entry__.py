@@ -506,6 +506,7 @@ def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
+        .orderBy("window_start")
     )
 
 
@@ -561,7 +562,7 @@ def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents")).orderBy("src", "dst")
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,7 +578,9 @@ def _embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=20, k=5)
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=20, k=5).orderBy(
+        "q", "rank"
+    )
 
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,7 +932,7 @@ SELECT start AS window_start, count(*) AS n FROM (
   SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS start
   FROM events
-) GROUP BY 1""",
+) GROUP BY 1 ORDER BY window_start""",
         "events_json": """
 SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
 FROM events GROUP BY event_type
@@ -967,9 +970,9 @@ FROM documents""",
 SELECT lang, count(*) AS n_docs FROM (
   SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
 ) WHERE rn = 1 GROUP BY lang ORDER BY lang""",
-        "dedup_ngram_jaccard": ngram_jaccard_sql_duck(),
+        "dedup_ngram_jaccard": ngram_jaccard_sql_duck() + "\nORDER BY src, dst",
         "embedding_near_dup": embedding_near_dup_sql_duck(),
-        "ann_brute_topk": brute_force_topk_sql_duck(),
+        "ann_brute_topk": brute_force_topk_sql_duck() + "\nORDER BY q, rank",
         "text_token_stats": token_stats_sql_duck(),
         "text_quality": quality_stats_sql_duck(),
         "text_fingerprint": fingerprint_sql_duck(),
