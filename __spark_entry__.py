@@ -140,39 +140,58 @@ def _kg_detect_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("not_confluence").alias("status")
     )
     mime = _pages(spark, sf_dir).select("status")
-    return not_mime.unionByName(mime).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        not_mime.unionByName(mime)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
 
 
 def _kg_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _raw(spark, sf_dir).select("doc_id", F.sha2("content", 256).alias("content_sha256"))
+    return (
+        _raw(spark, sf_dir)
+        .select("doc_id", F.sha2("content", 256).alias("content_sha256"))
+        .orderBy("doc_id")
+    )
 
 
 def _kg_output_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = _raw(spark, sf_dir)
-    return rf.filter(F.col("path").endswith(".doc")).select(
-        "doc_id", output_name_col(F.col("path")).alias("out_path")
+    return (
+        rf.filter(F.col("path").endswith(".doc"))
+        .select("doc_id", output_name_col(F.col("path")).alias("out_path"))
+        .orderBy("doc_id")
     )
 
 
 def _kg_pages_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ok_pages(spark, sf_dir).select("doc_id", "title")
+    return _ok_pages(spark, sf_dir).select("doc_id", "title").orderBy("doc_id")
 
 
 def _kg_links_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _triples(spark, sf_dir).filter(F.col("pred") == "links_to").select("subj", "obj")
+        _triples(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+        .orderBy("subj", "obj")
     )
 
 
 def _kg_contains_heading(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_heading_triples(_ok_pages(spark, sf_dir)).select(
-        "subj", "obj", "level", "section_order"
+    return (
+        extract_heading_triples(_ok_pages(spark, sf_dir))
+        .select("subj", "obj", "level", "section_order")
+        .orderBy("subj", "section_order")
     )
 
 
 def _kg_authored_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _triples(spark, sf_dir).filter(F.col("pred") == "authored_by").select("subj", "obj")
+        _triples(spark, sf_dir)
+        .filter(F.col("pred") == "authored_by")
+        .select("subj", "obj")
+        .orderBy("subj", "obj")
     )
 
 
@@ -181,6 +200,7 @@ def _kg_has_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _triples(spark, sf_dir)
         .filter(F.col("pred") == "has_attachment")
         .select("subj", "obj")
+        .orderBy("subj", "obj")
     )
 
 
@@ -194,17 +214,21 @@ def _kg_triples_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_canon_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cmap(spark, sf_dir).select("doc_id", "canon_id")
+    return _cmap(spark, sf_dir).select("doc_id", "canon_id").orderBy("doc_id")
 
 
 def _kg_nodes_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = build_nodes(
         _pages(spark, sf_dir), _cmap(spark, sf_dir), _edges(spark, sf_dir)
     )
-    return nodes.filter(F.col("node_type") == "page").select(
-        "node_id",
-        "canonical_name",
-        F.size("aliases").cast("bigint").alias("n_aliases"),
+    return (
+        nodes.filter(F.col("node_type") == "page")
+        .select(
+            "node_id",
+            "canonical_name",
+            F.size("aliases").cast("bigint").alias("n_aliases"),
+        )
+        .orderBy("node_id")
     )
 
 
@@ -213,6 +237,7 @@ def _kg_edges_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edges(spark, sf_dir)
         .filter(F.col("pred") == "links_to")
         .select("subj", "obj", "n_sources")
+        .orderBy("subj", "obj")
     )
 
 
@@ -234,11 +259,16 @@ def _kg_unresolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     page_keys = _ok_pages(spark, sf_dir).select(
         F.concat(F.lit("page:"), F.col("doc_id").cast("string")).alias("obj")
     )
-    return objs.join(page_keys, "obj", "left_anti")
+    return objs.join(page_keys, "obj", "left_anti").orderBy("obj")
 
 
 def _kg_repo_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _raw(spark, sf_dir).groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        _raw(spark, sf_dir)
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("repo")
+    )
 
 
 def _kg_export_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +289,7 @@ def _kg_export_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ts.alias("export_ts"),
         F.year(ts).alias("export_year"),
-    )
+    ).orderBy("doc_id")
 
 
 def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +334,7 @@ def _kg_mime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_type_hdr"
         ),
         "status",
-    )
+    ).orderBy("doc_id", "part_index")
 
 
 def _kg_html_part_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,16 +426,20 @@ def _top_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     )
 
 
 def _parts_in_lineitem_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
-    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
-        "p_partkey", "p_name"
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
     )
 
 
@@ -424,6 +458,7 @@ def _window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "o_orderkey",
             _CENTS(F.col("o_totalprice")).alias("top_price_cents"),
         )
+        .orderBy("o_custkey")
     )
 
 
@@ -466,14 +501,22 @@ def _setops_fulfilled_vs_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     all_cust = orders.select("o_custkey").distinct()
     f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    return all_cust.exceptAll(f_cust).select(F.col("o_custkey").alias("custkey"))
+    return (
+        all_cust.exceptAll(f_cust)
+        .select(F.col("o_custkey").alias("custkey"))
+        .orderBy("custkey")
+    )
 
 
 def _distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
@@ -711,20 +754,22 @@ SELECT CASE WHEN doc_id % 11 = 3 THEN 'not_confluence'
             WHEN doc_id % 97 = 95 THEN 'not_multipart'
             WHEN doc_id % 97 = 96 THEN 'no_html_part'
             ELSE 'ok' END AS status, count(*) AS n
-FROM documents GROUP BY 1""",
+FROM documents GROUP BY 1 ORDER BY status""",
         "kg_sha256_invariant": f"""
 WITH raw_files AS ({duckdb_raw_files_cte()})
-SELECT doc_id, lower(sha256(content)) AS content_sha256 FROM raw_files""",
+SELECT doc_id, lower(sha256(content)) AS content_sha256 FROM raw_files
+ORDER BY doc_id""",
         "kg_output_names": f"""
 WITH raw_files AS ({duckdb_raw_files_cte()})
 SELECT doc_id, replace(regexp_replace(path, '\\.doc$', '.md'), '+', '-') AS out_path
-FROM raw_files WHERE path LIKE '%.doc'""",
+FROM raw_files WHERE path LIKE '%.doc' ORDER BY doc_id""",
         "kg_pages_titles": f"""
 SELECT doc_id, 'Page ' || CAST({TITLE_ID_SQL} AS STRING) AS title
-FROM documents WHERE {IS_PAGE_SQL}""",
+FROM documents WHERE {IS_PAGE_SQL} ORDER BY doc_id""",
         "kg_links_to": f"""
 WITH {_LINKS_CTE}
-SELECT 'page:' || CAST(s AS STRING) AS subj, 'page:' || CAST(o AS STRING) AS obj FROM links""",
+SELECT 'page:' || CAST(s AS STRING) AS subj, 'page:' || CAST(o AS STRING) AS obj FROM links
+ORDER BY subj, obj""",
         "kg_contains_heading": f"""
 WITH {_PAGES_CTE}
 SELECT {subj} AS subj, 'section:Page ' || CAST(t AS STRING) AS obj,
@@ -732,16 +777,18 @@ SELECT {subj} AS subj, 'section:Page ' || CAST(t AS STRING) AS obj,
 UNION ALL
 SELECT {subj}, 'section:Details', CAST(2 AS INT), CAST(1 AS INT) FROM pages
 UNION ALL
-SELECT {subj}, 'section:Notes', CAST(3 AS INT), CAST(2 AS INT) FROM pages WHERE doc_id % 3 = 0""",
+SELECT {subj}, 'section:Notes', CAST(3 AS INT), CAST(2 AS INT) FROM pages WHERE doc_id % 3 = 0
+ORDER BY subj, section_order""",
         "kg_authored_by": f"""
 SELECT {subj} AS subj, 'user:user' || CAST(doc_id % 25 AS STRING) AS obj
-FROM documents WHERE {IS_PAGE_SQL}""",
+FROM documents WHERE {IS_PAGE_SQL} ORDER BY subj, obj""",
         "kg_has_attachment": f"""
 SELECT {subj} AS subj, 'file:att-' || CAST(doc_id AS STRING) || '.png' AS obj
 FROM documents WHERE {IS_PAGE_SQL} AND doc_id % 4 = 0
 UNION ALL
 SELECT {subj}, 'file:spec-' || CAST(doc_id AS STRING) || '.pdf'
-FROM documents WHERE {IS_PAGE_SQL} AND doc_id % 6 = 0""",
+FROM documents WHERE {IS_PAGE_SQL} AND doc_id % 6 = 0
+ORDER BY subj, obj""",
         "kg_triples_by_pred": f"""
 WITH p AS (SELECT doc_id FROM documents WHERE {IS_PAGE_SQL})
 SELECT 'links_to' AS pred, CAST(2*count(*) AS BIGINT) AS n FROM p
@@ -751,27 +798,30 @@ UNION ALL SELECT 'has_attachment',
   CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM p
 ORDER BY pred""",
         "kg_canon_map": f"""
-SELECT doc_id, {canon_id_sql('doc_id')} AS canon_id FROM documents WHERE {IS_PAGE_SQL}""",
+SELECT doc_id, {canon_id_sql('doc_id')} AS canon_id FROM documents WHERE {IS_PAGE_SQL}
+ORDER BY doc_id""",
         "kg_nodes_pages": f"""
 WITH {_PAGES_CTE}
 SELECT 'page:' || CAST(min(doc_id) AS STRING) AS node_id,
        'Page ' || CAST(t AS STRING) AS canonical_name,
        count(*) AS n_aliases
-FROM pages GROUP BY t""",
+FROM pages GROUP BY t ORDER BY node_id""",
         "kg_edges_canonical": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE}
-SELECT subj, obj, count(*) AS n_sources FROM canon_links GROUP BY subj, obj""",
+SELECT subj, obj, count(*) AS n_sources FROM canon_links GROUP BY subj, obj
+ORDER BY subj, obj""",
         "kg_top_linked": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE}
 SELECT obj, count(*) AS n_links FROM canon_links GROUP BY obj
 ORDER BY n_links DESC, obj ASC LIMIT 10""",
         "kg_unresolved_links": f"""
 WITH {_LINKS_CTE}
-SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_page_sql('o')}""",
+SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_page_sql('o')}
+ORDER BY obj""",
         "kg_repo_skew_census": """
 SELECT CASE WHEN doc_id % 5 < 3 THEN 'repo-hot' ELSE 'repo-' || CAST(doc_id % 17 AS STRING) END AS repo,
        count(*) AS n
-FROM documents GROUP BY 1""",
+FROM documents GROUP BY 1 ORDER BY repo""",
         "kg_mentions": f"""
 WITH p AS (
   SELECT doc_id, source,
@@ -835,7 +885,8 @@ UNION ALL
 SELECT m.doc_id, CAST(1 AS INT), 'image/png', 'base64', att.fn,
        'image/png; name="' || att.fn || '"', 'ok'
 FROM m JOIN att ON m.doc_id = att.doc_id
-WHERE m.doc_id % 97 <> 95 AND m.doc_id % 97 <> 96 AND m.doc_id % 4 = 0""",
+WHERE m.doc_id % 97 <> 95 AND m.doc_id % 97 <> 96 AND m.doc_id % 4 = 0
+ORDER BY doc_id, part_index""",
         "kg_html_part_selection": f"""
 SELECT doc_id, CAST(0 AS INT) AS part_index, 'utf-8' AS charset
 FROM documents WHERE {IS_PAGE_SQL}""",
@@ -843,7 +894,7 @@ FROM documents WHERE {IS_PAGE_SQL}""",
 SELECT doc_id,
        TIMESTAMP '2025-01-01 00:00:00' AS export_ts,
        CAST(2025 AS INT) AS export_year
-FROM documents WHERE doc_id % 11 <> 3""",
+FROM documents WHERE doc_id % 11 <> 3 ORDER BY doc_id""",
         # ----------------------------------------------- relational surface
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_cents,
@@ -888,16 +939,18 @@ GROUP BY p_partkey, p_name
 ORDER BY total_qty DESC, p_partkey ASC LIMIT 20""",
         "customers_no_orders": """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey""",
         "parts_in_lineitem_semi": """
 SELECT p_partkey, p_name FROM part
-WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)""",
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+ORDER BY p_partkey""",
         "window_top_order_per_customer": """
 SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS top_price_cents
 FROM (
   SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders
-) WHERE rn = 1""",
+) WHERE rn = 1 ORDER BY o_custkey""",
         "window_running_customer_totals": """
 SELECT o_custkey, o_orderkey,
   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
@@ -918,10 +971,10 @@ SELECT o_custkey AS custkey FROM (
   SELECT DISTINCT o_custkey FROM orders
   EXCEPT
   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-)""",
+) ORDER BY custkey""",
         "distinct_priorities": """
 SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
-FROM orders GROUP BY o_orderpriority""",
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli

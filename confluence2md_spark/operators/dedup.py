@@ -195,6 +195,7 @@ def minhash_near_dup_pairs(
         bands=8,
         threshold=threshold,
         mode="word_ngrams",
+        sig_engine="numpy",  # long shingle sets: one matmul beats k JVM scans
     )
 
 

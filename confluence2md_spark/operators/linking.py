@@ -252,9 +252,12 @@ def lsh_candidate_pairs(
         shingle_hashes_col(F.col(text_col), mode=mode).alias("sh"),
     ).repartition(num_partitions, "id")
     if sig_engine == "numpy":
-        # opt-in vectorized path (see helper docstring); measured at sf0.1
-        # doc lengths the Arrow round-trip costs more than the JVM
-        # traversals save, so JVM stays the default for every mode.
+        # vectorized path (see helper docstring). With the persist below the
+        # Arrow round-trip happens ONCE, and the measurement flips: at sf0.1
+        # doc lengths numpy beats the k JVM traversals cold (9.4 vs 14.5 s —
+        # far less codegen to JIT) and warm (2.0 vs 2.7 s). Long-shingle-set
+        # callers (word_ngrams) should pass it; short strings (titles) keep
+        # JVM, where skipping Arrow still wins.
         sigd = _with_numpy_signatures(shingled, k=k, seed=seed).repartition(
             num_partitions, "id"
         )
@@ -262,6 +265,19 @@ def lsh_candidate_pairs(
         sigd = shingled.select(
             "id", "sh", minhash_signature_col(F.col("sh"), k=k, seed=seed).alias("sig")
         ).repartition(num_partitions, "id")
+
+    # ONE materialization of (id, sh, sig) for every downstream scan. The
+    # plan below reads this relation up to six times (bucket census, both
+    # self-join sides, two shingle join-backs, exact-fallback hash) and each
+    # read would otherwise RECOMPUTE the shingling + k minhash traversals —
+    # measured 6.5 s warm -> 3.5 s at sf0.1 word_ngram docs. Exchange reuse
+    # does not cover these (different projections -> different exchanges).
+    # Cost at scale: ~(shingles + k) * 8 B per row in MEMORY_AND_DISK,
+    # strictly cheaper than 3-6 recomputations of the same bytes.
+    from pyspark import StorageLevel
+
+    sigd = sigd.persist(StorageLevel.MEMORY_AND_DISK)
+    shingled = sigd.select("id", "sh")
 
     # Shingle placement is mode-dependent, and measurably so in BOTH
     # directions: for word_ngrams (documents, ~600-long arrays) carrying sh
