@@ -36,21 +36,191 @@ def incremental_pages(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def incremental_triples(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming triples from a raw_files drop directory.
+
+    `extract_all_triples(dedup=False)` is STATELESS (filter + explode +
+    union — no join/agg), so the exact batch operator runs unchanged on the
+    streaming pages DataFrame. Canonicalization stays a batch compaction
+    over the accumulated triples (CC is a global fixpoint — not a streaming
+    op); this split mirrors a production lambda layout: stream appends raw
+    triples, a periodic batch job re-canonicalizes."""
+    from ..operators.triples import extract_all_triples
+
+    return extract_all_triples(incremental_pages(spark, source_dir), dedup=False)
+
+
 def run_incremental_build(
     spark: SparkSession,
     source_dir: str,
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    emit: str = "pages",
 ):
-    """Drain `source_dir` into a pages parquet sink; returns the query."""
-    pages = incremental_pages(spark, source_dir)
+    """Drain `source_dir` into a parquet sink; returns the query.
+
+    emit='pages' writes converted pages; emit='triples' writes raw triples
+    partitioned by pred (same layout as the batch triples_raw sink, so the
+    batch canonicalization stage can run over either)."""
+    if emit == "triples":
+        df = incremental_triples(spark, source_dir)
+    elif emit == "pages":
+        df = incremental_pages(spark, source_dir)
+    else:
+        raise ValueError(f"unknown emit={emit!r}")
     writer = (
-        pages.writeStream.format("parquet")
+        df.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+    if emit == "triples":
+        writer = writer.partitionBy("pred")
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------- windowed aggs + state --
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts over a streaming events source.
+
+    Append-mode semantics: a window's row is emitted only once the watermark
+    (max event time seen - `watermark_delay`) passes its end — late events
+    inside the delay still land in their window; older ones are dropped.
+    The aggregation state Spark keeps is bounded by the delay, which is what
+    makes this safe on an unbounded 100-TB/day stream."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+):
+    """Drain an events drop dir into finalized-window counts (append mode)."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return (
+        windowed_event_counts(ev, window, watermark_delay)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "last_ts double, start_ts double, n long"
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_seconds: int = 1800, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user session
+    assembly across micro-batches.
+
+    State per user = (last_ts, start_ts, n) of the OPEN session. Each batch
+    folds its (sorted) events in; a gap > `gap_seconds` CLOSES the previous
+    session — closed sessions are emitted, the open one stays in state.
+    Purely event-time driven (no processing-time timeout), so replaying the
+    same drops yields the same sessions — the property the tests pin.
+
+    Scale: state is 3 scalars per ACTIVE user, partitioned by user_id —
+    the same shuffle key the batch sessionizer uses."""
+    import pandas as pd  # noqa: F401 (imported for executors)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fold(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, start_ts, n = state.get
+        else:
+            last_ts, start_ts, n = None, None, 0
+        out = []
+        # one global sort per (user, batch): pdf_iter may deliver several
+        # Arrow chunks and the fold needs the full batch in time order
+        batch_ts = sorted(t for pdf in pdf_iter for t in pdf["ts"])
+        for ts in batch_ts:
+            t = ts.timestamp()
+            if last_ts is None:
+                start_ts, n = t, 0
+            elif t - last_ts > gap_seconds:
+                out.append((user_id, start_ts, last_ts, n))
+                start_ts, n = t, 0
+            last_ts = t
+            n += 1
+        state.update((last_ts, start_ts, n))
+        import pandas as pd
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="s") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
+                    "n_events": [o[3] for o in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+):
+    """Drain an events drop dir into closed-session rows."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return (
+        streaming_sessionize(ev, gap_seconds=gap_seconds)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -37,3 +37,109 @@ def test_incremental_matches_batch(spark, sf_dir, tmp_path):
     got2 = spark.read.parquet(out)
     new_ids = {r["doc_id"] for r in got2.collect()} - set(got_map)
     assert new_ids and all(100 <= i < 150 for i in new_ids)
+
+
+def test_incremental_triples_match_batch(spark, sf_dir, tmp_path):
+    """Streaming triple extraction = batch triple extraction on the same docs."""
+    from confluence2md_spark.operators.convert import convert_pages
+    from confluence2md_spark.operators.triples import extract_all_triples
+    from confluence2md_spark.sources.corpus import synth_raw_files
+
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    raw = synth_raw_files(spark, sf_dir).filter("doc_id < 80")
+    raw.write.mode("overwrite").parquet(src)
+
+    q = run_incremental_build(spark, src, out, ckpt, emit="triples")
+    q.awaitTermination(120)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in extract_all_triples(convert_pages(raw)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_windowed_counts_respect_watermark(spark, tmp_path):
+    """Append-mode windowed agg: a window is emitted only after the
+    watermark passes its end, and late-but-inside-delay events count."""
+    from confluence2md_spark.streaming.incremental import run_windowed_counts
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(rows, mode):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.mode(mode).parquet(src)
+
+    from datetime import datetime as dt
+
+    # batch 1: two events in hour 10 -> watermark ends at 10:30-2h, window
+    # [10:00,11:00) not finalized, nothing emitted yet
+    drop(
+        [(1, dt(2025, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
+         (2, dt(2025, 1, 1, 10, 30), 1, "click", 1.0, "{}")],
+        "overwrite",
+    )
+    q = run_windowed_counts(spark, src, out, ckpt, window="1 hour", watermark_delay="2 hours")
+    q.awaitTermination(120)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")] if os.path.isdir(out) else []
+    n0 = spark.read.parquet(out).count() if files else 0
+    assert n0 == 0
+
+    # batch 2: a LATE event still inside the delay joins hour 10; an event
+    # at 14:00 pushes the watermark to 12:00 > 11:00 -> hour-10 window emits
+    drop(
+        [(3, dt(2025, 1, 1, 10, 45), 2, "click", 1.0, "{}"),
+         (4, dt(2025, 1, 1, 14, 0), 1, "view", 1.0, "{}")],
+        "append",
+    )
+    q2 = run_windowed_counts(spark, src, out, ckpt, window="1 hour", watermark_delay="2 hours")
+    q2.awaitTermination(120)
+    rows = {(r["window_start"].hour, r["event_type"]): r["n"] for r in spark.read.parquet(out).collect()}
+    assert rows == {(10, "click"): 3}  # late event counted; 14:00 window still open
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState: sessions close across micro-batches; the
+    open session survives in state until a later event closes it."""
+    from confluence2md_spark.streaming.incremental import run_streaming_sessionize
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    from datetime import datetime as dt
+
+    def drop(rows, mode):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.mode(mode).parquet(src)
+
+    # batch 1: user 1 has a 3-event session; no later event -> stays OPEN
+    drop(
+        [(1, dt(2025, 1, 1, 9, 0), 1, "a", 1.0, "{}"),
+         (2, dt(2025, 1, 1, 9, 10), 1, "a", 1.0, "{}"),
+         (3, dt(2025, 1, 1, 9, 20), 1, "a", 1.0, "{}")],
+        "overwrite",
+    )
+    q = run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800)
+    q.awaitTermination(120)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")] if os.path.isdir(out) else []
+    assert (spark.read.parquet(out).count() if files else 0) == 0
+
+    # batch 2: a gap-crossing event closes session 1 (3 events, 09:00-09:20)
+    drop([(4, dt(2025, 1, 1, 12, 0), 1, "a", 1.0, "{}")], "append")
+    q2 = run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 3
+    assert r["session_start"].hour == 9 and r["session_end"].minute == 20
