@@ -98,3 +98,75 @@ def write_table(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return path
+
+
+# -------------------------------------------------------- incremental merge
+
+MERGE_EDGES_SQL = """
+MERGE INTO {ns}.edges t
+USING edges_delta d
+ON t.subj = d.subj AND t.pred = d.pred AND t.obj = d.obj
+WHEN MATCHED THEN UPDATE SET
+  t.n_sources = t.n_sources + d.n_sources,
+  t.confidence = greatest(t.confidence, d.confidence)
+WHEN NOT MATCHED THEN INSERT *
+"""
+
+
+def merge_edges_delta(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Upsert semantics of MERGE_EDGES_SQL as a DataFrame transform — the
+    parquet-backend twin (and the definition the Iceberg path must match).
+
+    Keyed on (subj, pred, obj): matched rows ADD n_sources (edge weights are
+    source counts, so merging the edges of corpus A with the edge-delta of
+    NEW corpus B equals re-aggregating A∪B from scratch — the exact property
+    tests pin) and keep the max confidence; unmatched delta rows insert.
+    Re-converted (changed) documents are NOT addable — they need doc-level
+    retraction first, i.e. per-doc_id source tracking; this operator covers
+    the append-only incremental case the streaming triples sink produces.
+
+    One shuffle per side on the merge key; no broadcast (both sides can be
+    huge at 10^12-file scale — this is the classic SMJ-shaped upsert, and
+    Iceberg executes its MERGE the same way)."""
+    on = ["subj", "pred", "obj"]
+    e = existing.alias("t")
+    d = delta.alias("d")
+    merged = e.join(d, on, "full_outer")
+    keep = [c for c in existing.columns if c not in on + ["n_sources", "confidence"]]
+    from pyspark.sql import functions as F
+
+    return merged.select(
+        *on,
+        *[F.coalesce(f"t.{c}", f"d.{c}").alias(c) for c in keep],
+        (
+            F.coalesce(F.col("t.n_sources"), F.lit(0))
+            + F.coalesce(F.col("d.n_sources"), F.lit(0))
+        ).alias("n_sources"),
+        F.greatest(
+            F.coalesce(F.col("t.confidence"), F.lit(0.0)),
+            F.coalesce(F.col("d.confidence"), F.lit(0.0)),
+        ).alias("confidence"),
+    ).select(*existing.columns)
+
+
+def merge_edges(
+    spark: SparkSession, warehouse: str, delta: DataFrame
+) -> str:
+    """Merge an edge delta into the edges table (Iceberg MERGE INTO on a
+    cluster; read-merge-overwrite on the parquet backend)."""
+    if _use_iceberg():
+        delta.createOrReplaceTempView("edges_delta")
+        spark.sql(MERGE_EDGES_SQL.format(ns=_namespace()))
+        return f"{_namespace()}.edges"
+    existing = load_table(spark, warehouse, "edges")
+    merged = merge_edges_delta(existing, delta)
+    # parquet cannot rewrite in place while reading — stage then swap
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="edges_merge_", dir=warehouse)
+    merged.write.mode("overwrite").partitionBy("pred").parquet(staging)
+    final = os.path.join(warehouse, "edges")
+    shutil.rmtree(final)
+    os.rename(staging, final)
+    return final

@@ -125,3 +125,59 @@ def test_parquet_branch_unaffected_by_env(monkeypatch, tmp_path, spark):
     path = catalog.write_table(df, str(tmp_path), "t")
     got = catalog.load_table(spark, str(tmp_path), "t")
     assert got.count() == 3 and path.endswith("/t")
+
+
+def test_merge_edges_sql_parses(spark):
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(catalog.MERGE_EDGES_SQL.format(ns="kg"))  # ParseException on bad syntax
+
+
+def test_merge_edges_delta_equals_reaggregation(spark, sf_dir, tmp_path):
+    """Merging corpus A's edges with the delta of NEW corpus B equals
+    aggregating A∪B from scratch (key + n_sources + confidence + types;
+    MERGE keeps the existing row's repo attribute by design)."""
+    from confluence2md_spark.operators.canon import (
+        build_canonical_map,
+        canonicalize_triples,
+    )
+    from confluence2md_spark.operators.convert import convert_pages
+    from confluence2md_spark.operators.triples import extract_all_triples
+    from confluence2md_spark.sources.corpus import synth_raw_files
+
+    raw = synth_raw_files(spark, sf_dir)
+    pages = convert_pages(raw.filter("doc_id < 120"))
+    cmap = build_canonical_map(pages)  # shared map: B adds docs, not titles
+
+    def edges_for(pred):
+        return canonicalize_triples(
+            extract_all_triples(convert_pages(raw.filter(pred))), cmap
+        )
+
+    wh = str(tmp_path)
+    edges_for("doc_id < 60").write.partitionBy("pred").parquet(f"{wh}/edges")
+    catalog.merge_edges(spark, wh, edges_for("doc_id >= 60 AND doc_id < 120"))
+
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["n_sources"], r["confidence"], r["subj_type"], r["obj_type"]
+        )
+        for r in spark.read.parquet(f"{wh}/edges").collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["n_sources"], r["confidence"], r["subj_type"], r["obj_type"]
+        )
+        for r in edges_for("doc_id < 120").collect()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_merge_edges_iceberg_branch(monkeypatch):
+    monkeypatch.setenv("KG_USE_ICEBERG", "1")
+    monkeypatch.setenv("KG_NAMESPACE", "testns")
+    sp = mock.MagicMock()
+    delta = mock.MagicMock()
+    out = catalog.merge_edges(sp, "/ignored", delta)
+    assert out == "testns.edges"
+    delta.createOrReplaceTempView.assert_called_once_with("edges_delta")
+    sp.sql.assert_called_once_with(catalog.MERGE_EDGES_SQL.format(ns="testns"))
