@@ -671,6 +671,22 @@ def _mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(media, real=False)
 
 
+def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from confluence2md_spark.operators.multimodal import sample_video_frames
+
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_video_frames(media, n_frames=4).select(
+        "doc_id", "frame_idx", "ts_seconds", "frame_sha256"
+    )
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from confluence2md_spark.operators.multimodal import extract_features
+
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_features(media, dim=16)
+
+
 # ----------------------------------------------------------------- entry --
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -735,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _text_langid,
         "mm_binary_meta": _mm_binary_meta,
         "mm_decode_stub": _mm_decode_stub,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_features": _mm_features,
     }
 
 

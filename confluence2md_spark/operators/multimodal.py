@@ -78,3 +78,117 @@ def decode_image_meta(media: DataFrame, real: bool = False) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _batches, schema="doc_id long, width int, height int, format string"
     )
+
+
+def resize_image(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, real: bool = False
+) -> DataFrame:
+    """(doc_id, payload, width, height) — binary-in/binary-out resize.
+
+    The plumbing is the real part: binary payloads cross INTO the Arrow
+    batch and resized binaries cross back OUT (the shape a GPU-preproc
+    feeder needs), one row per input. real=True requires PIL (absent here —
+    NotImplementedError); the stub emits a deterministic payload whose size
+    scales with target_w*target_h so sink sizing behaves like real output.
+    """
+    if real and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL, which is not installed; "
+            "use real=False for the deterministic stub"
+        )
+
+    n_out = max(16, (target_w * target_h) // 256)  # fake "compressed" size
+
+    def _stub_resize(payload: bytes) -> bytes:
+        seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
+        reps = n_out // len(seed) + 1
+        return (seed * reps)[:n_out]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _stub_resize(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _batches, schema="doc_id long, payload binary, width int, height int"
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, n_frames: int = 4, real: bool = False
+) -> DataFrame:
+    """(doc_id, frame_idx, ts_seconds, frame, frame_sha256) — one row per
+    sampled frame: the 1->N fan-out batch shape frame sampling needs (a
+    mapInPandas batch may emit MORE rows than it receives — this is the
+    part worth pinning, not the codec).
+
+    real=True requires a video decoder (ffmpeg/PyAV, absent here). The stub
+    derives a deterministic 'duration' from the payload hash, samples
+    `n_frames` uniform timestamps, and emits payload slices as frames —
+    every downstream contract (schema, per-frame hash, row multiplicity)
+    matches what a real decoder would feed."""
+    if real:
+        raise NotImplementedError(
+            "real frame sampling requires a video decoder (ffmpeg/PyAV), "
+            "which is not installed; use real=False for the deterministic stub"
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "ts_seconds": [], "frame": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                d = hashlib.sha256(p).digest()
+                duration = 1.0 + d[3] * 2.0  # fake seconds, deterministic
+                for i in range(n_frames):
+                    lo = (i * max(1, len(p))) // n_frames
+                    frame = p[lo : lo + 64] or d
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["ts_seconds"].append(duration * i / n_frames)
+                    rows["frame"].append(frame)
+            out = pd.DataFrame(rows)
+            out["frame_sha256"] = [
+                hashlib.sha256(f).hexdigest() for f in out["frame"]
+            ]
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, frame_idx int, ts_seconds double, "
+            "frame binary, frame_sha256 string"
+        ),
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """(doc_id, embedding array<float>) — deterministic fake feature vector
+    from the payload hash; the plumbing that feeds the ANN operators
+    (similarity.py) from a multimodal table. A real model swaps into the
+    same batch iterator (ideally with Arrow batches sized to GPU memory)."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for p in pdf["payload"]:
+                d = hashlib.sha256(p if p is not None else b"").digest()
+                need = dim * 2
+                reps = need // len(d) + 1
+                raw = (d * reps)[:need]
+                embs.append(
+                    [((raw[2 * i] << 8 | raw[2 * i + 1]) / 65535.0) for i in range(dim)]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _batches, schema="doc_id long, embedding array<float>"
+    )

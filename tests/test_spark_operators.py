@@ -323,3 +323,63 @@ def test_multimodal_real_decode_raises(spark, sf_dir):
     media = attach_binary_payload(docs)
     with pytest.raises(NotImplementedError):
         decode_image_meta(media, real=True)
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """Binary-in/binary-out resize: payload size tracks the target dims,
+    output is deterministic, one row per input."""
+    from confluence2md_spark.operators.multimodal import resize_image
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = attach_binary_payload(docs)
+    small = {r["doc_id"]: r["payload"] for r in resize_image(media, 64, 64).collect()}
+    big = {r["doc_id"]: r["payload"] for r in resize_image(media, 224, 224).collect()}
+    assert len(small) == len(big) == 10
+    assert all(len(p) == (64 * 64) // 256 for p in small.values())
+    assert all(len(p) == (224 * 224) // 256 for p in big.values())
+    again = {r["doc_id"]: r["payload"] for r in resize_image(media, 64, 64).collect()}
+    assert again == small
+    with pytest.raises(NotImplementedError):
+        resize_image(media, real=True)
+
+
+def test_multimodal_frame_sampling_fanout(spark, sf_dir):
+    """1->N fan-out: n_frames rows per input doc, deterministic per-frame
+    hashes, monotone timestamps within a doc."""
+    from confluence2md_spark.operators.multimodal import sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = attach_binary_payload(docs)
+    frames = sample_video_frames(media, n_frames=4).collect()
+    assert len(frames) == 40
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["frame_idx"])
+        ts = [r["ts_seconds"] for r in rows]
+        assert ts == sorted(ts) and ts[0] == 0.0
+        assert all(len(r["frame"]) > 0 for r in rows)
+    h1 = {(r["doc_id"], r["frame_idx"]): r["frame_sha256"] for r in frames}
+    h2 = {
+        (r["doc_id"], r["frame_idx"]): r["frame_sha256"]
+        for r in sample_video_frames(media, n_frames=4).collect()
+    }
+    assert h1 == h2
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(media, real=True)
+
+
+def test_multimodal_features_feed_ann(spark, sf_dir):
+    """extract_features output plugs straight into the ANN operator."""
+    from confluence2md_spark.operators.multimodal import extract_features
+    from confluence2md_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    emb = extract_features(attach_binary_payload(docs), dim=8)
+    rows = emb.collect()
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["embedding"])
+    topk = brute_force_topk(emb, n_queries=3, k=2, id_col="doc_id", vec_col="embedding")
+    got = topk.collect()
+    assert len(got) > 0 and all(r["rank"] <= 2 for r in got)
