@@ -38,6 +38,7 @@ function of its input; no I/O; vectorizes inside pandas UDF batches.
 
 from __future__ import annotations
 
+import html as _html_mod
 import re
 from html.parser import HTMLParser
 
@@ -53,8 +54,13 @@ _BLOCK_TAGS = {
 }
 # inline tags GFM has no syntax for: pandoc -t gfm keeps them as raw HTML
 _RAW_INLINE_TAGS = {"u", "span", "sub", "sup", "ins", "small", "mark", "kbd"}
-# block content that disqualifies a table from GFM pipe syntax
-_CELL_BLOCK_TAGS = {"table", "ul", "ol", "pre", "blockquote", "dl"}
+# block content that disqualifies a table from GFM pipe syntax (a lone <p>
+# is the exception: pandoc unwraps a single paragraph to the cell's inline
+# content — multiple paragraphs / headings / rules cannot be joined)
+_CELL_BLOCK_TAGS = {
+    "table", "ul", "ol", "pre", "blockquote", "dl",
+    "h1", "h2", "h3", "h4", "h5", "h6", "hr",
+}
 _LANG_RE = re.compile(r"language-([\w#+-]+)")
 
 
@@ -251,10 +257,30 @@ class _Renderer:
                 return True
         return False
 
+    def _cell_not_inline(self, cell: _Node) -> bool:
+        """True when a th/td cannot be expressed as one GFM pipe-table cell:
+        any hard block content, >1 paragraph, or a paragraph mixed with
+        other non-whitespace content (pandoc only unwraps a LONE <p>)."""
+        if self._has_block_descendant(cell):
+            return True
+        n_p = sum(1 for c in cell.children if c.tag == "p")
+        if n_p > 1:
+            return True
+        if n_p == 1:
+            for c in cell.children:
+                if c.tag == "p":
+                    continue
+                if c.tag or c.raw.strip():
+                    return True
+        return False
+
     def _to_html(self, n: _Node) -> str:
-        """Serialize a subtree back to HTML (raw-fallback path)."""
+        """Serialize a subtree back to HTML (raw-fallback path). Text nodes
+        hold parser-DECODED text (convert_charrefs=True), so they must be
+        re-escaped — emitting them verbatim would turn '&lt;script&gt;' in a
+        cell into an active tag in the raw output."""
         if n.tag == "":
-            return n.raw
+            return _html_mod.escape(n.raw, quote=False)
         open_tag = n.raw or f"<{n.tag}>"
         if n.tag in _VOID_TAGS:
             return open_tag
@@ -275,7 +301,7 @@ class _Renderer:
                 if tr.tag != "tr":
                     continue
                 for cell in tr.children:
-                    if cell.tag in ("th", "td") and self._has_block_descendant(cell):
+                    if cell.tag in ("th", "td") and self._cell_not_inline(cell):
                         return self._to_html(n)
         rows: list[list[str]] = []
         header: list[str] | None = None

@@ -201,3 +201,44 @@ def test_simple_table_still_gfm():
 def test_sub_sup_ins_kept_as_raw_inline():
     md = html_to_markdown("<p>H<sub>2</sub>O and x<sup>2</sup> and <ins>new</ins></p>")
     assert "<sub>2</sub>" in md and "<sup>2</sup>" in md and "<ins>new</ins>" in md
+
+
+def test_lone_paragraph_cell_unwraps_to_inline():
+    # pandoc unwraps a single <p> to the cell's inline content
+    md = html_to_markdown(
+        "<table><tr><th>A</th></tr><tr><td><p>only para</p></td></tr></table>"
+    )
+    assert "| only para |" in md and "<table>" not in md
+
+
+def test_multi_paragraph_cell_falls_back_to_raw_html():
+    md = html_to_markdown(
+        "<table><tr><th>A</th></tr>"
+        "<tr><td><p>first</p><p>second</p></td></tr></table>"
+    )
+    assert md.strip().startswith("<table>")
+    assert "<p>first</p>" in md and "<p>second</p>" in md
+
+
+def test_paragraph_mixed_with_text_cell_falls_back_to_raw_html():
+    md = html_to_markdown(
+        "<table><tr><td>loose text<p>para</p></td></tr></table>"
+    )
+    assert md.strip().startswith("<table>")
+
+
+def test_heading_in_cell_falls_back_to_raw_html():
+    md = html_to_markdown(
+        "<table><tr><td><h2>Head</h2></td></tr></table>"
+    )
+    assert md.strip().startswith("<table>") and "<h2>" in md
+
+
+def test_raw_fallback_reescapes_decoded_text():
+    # '&lt;script&gt;' decoded by the parser must be re-escaped on the way
+    # back out, not emitted as an active tag
+    md = html_to_markdown(
+        "<table><tr><td><p>a</p><p>&lt;script&gt;x&amp;y</p></td></tr></table>"
+    )
+    assert "&lt;script&gt;" in md and "<script>" not in md
+    assert "x&amp;y" in md
