@@ -18,24 +18,73 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Small-graph path: collect the edge list, run union-find on the driver,
+    broadcast the labels back. The alias graph is SPARSE relative to the
+    corpus (pairs ∝ duplicated pages, ~0.1-10% of rows — 3.1k pairs at 36k
+    docs, ~128k at 1.28M): under `driver_max_edges` a driver pass replaces
+    O(diameter) iterative join jobs (each a full shuffle + fixpoint-probe
+    job) with ONE collect over an already-materialized relation. Same
+    contract: component = min vertex id, every vertex labeled."""
+    spark = edges.sparkSession
+    id_type = dict(edges.dtypes)[src]
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges.select(src, dst).collect():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final label IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(
+        rows, schema=f"id {id_type}, component {id_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
     on_max_iter: str = "raise",
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in `edges`;
     component = min vertex id in the component.
 
-    Fixpoint guard: hash-min needs O(diameter) iterations; if labels are
-    STILL changing when `max_iter` is exhausted the result would be silently
-    wrong (some vertices not yet carrying their component's min). That case
-    `raise`s by default (`on_max_iter="warn"` downgrades to a warning for
-    exploratory use). Alias graphs from title/LSH linking are near-cliques
-    (diameter 1-2), so hitting the guard means the input is not the graph
-    this operator was sized for — fail loudly, never return a wrong map.
+    Hybrid strategy: alias graphs are tiny relative to the corpus, so when
+    the edge count is under `driver_max_edges` (~32 MB of id pairs) the
+    labels come from a driver-side union-find — one collect job instead of
+    O(diameter) shuffle+probe iterations (measured 2.6-3.3 s -> ~0.4 s at
+    3.1k pairs on a fresh JVM). Past the cap — a corpus whose DUPLICATE
+    set alone is tens of millions of pages — the iterative distributed
+    hash-min below takes over; pass `driver_max_edges=0` to force it.
+
+    Fixpoint guard (distributed path): hash-min needs O(diameter)
+    iterations; if labels are STILL changing when `max_iter` is exhausted
+    the result would be silently wrong (some vertices not yet carrying
+    their component's min). That case `raise`s by default
+    (`on_max_iter="warn"` downgrades to a warning for exploratory use).
+    Alias graphs from title/LSH linking are near-cliques (diameter 1-2),
+    so hitting the guard means the input is not the graph this operator
+    was sized for — fail loudly, never return a wrong map.
     """
+    if driver_max_edges and edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        return _driver_union_find(edges, src, dst)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

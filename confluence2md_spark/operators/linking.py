@@ -155,6 +155,8 @@ def token_block_pairs(
     'word_ngrams')`: their shingle sets are large, so an inverted index
     would explode while banding concentrates.
     """
+    from pyspark.sql import Window
+
     if num_partitions is None:
         num_partitions = entities.sparkSession.sparkContext.defaultParallelism
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
@@ -162,18 +164,26 @@ def token_block_pairs(
         num_partitions, "id"
     )
     occ = base.select("id", "tk", F.explode("tk").alias("tok"))
-    hot = occ.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
-    kept = occ.join(hot, "tok", "left_anti")
+    # df cap via a window count over tok: ONE shuffle (vs the former
+    # groupBy-hot + anti-join pair of subplans), and it leaves `kept`
+    # hash-partitioned by tok — exactly the distribution the self-join
+    # below needs, so both aliases reuse the same exchange.
+    kept = (
+        occ.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        .filter(F.col("df") <= max_token_df)
+        .drop("df")
+    )
     a, b = kept.alias("a"), kept.alias("b")
-    cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            F.col("a.tk").alias("tk_a"),
-            F.col("b.tk").alias("tk_b"),
-        )
-        .dropDuplicates(["src", "dst"])
+    # no intermediate dedup: a pair sharing k rare tokens is generated k
+    # times, but k is tiny for title-sized sets and the jaccard expression
+    # is cheap — one terminal dropDuplicates replaces two mid-plan shuffles.
+    cand = a.join(
+        b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        F.col("a.tk").alias("tk_a"),
+        F.col("b.tk").alias("tk_b"),
     )
     jac = F.size(F.array_intersect("tk_a", "tk_b")) / F.size(F.array_union("tk_a", "tk_b"))
     pairs = (
@@ -182,18 +192,18 @@ def token_block_pairs(
         .select("src", "dst", "jaccard")
     )
     if not exact_fallback:
-        return pairs
-    exact = base.select("id", F.xxhash64("tk").alias("eh"))
-    bucket_min = (
-        exact.groupBy("eh")
-        .agg(F.min("id").alias("src"), F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("eh", "src")
-    )
+        return pairs.dropDuplicates(["src", "dst"])
+    # exact star fallback, likewise as one window pass over the hash
+    we = Window.partitionBy("eh")
     star = (
-        exact.join(bucket_min, "eh")
-        .filter(F.col("id") != F.col("src"))
-        .select("src", F.col("id").alias("dst"), F.lit(1.0).alias("jaccard"))
+        base.select("id", F.xxhash64("tk").alias("eh"))
+        .withColumn("mn", F.min("id").over(we))
+        .filter(F.col("id") != F.col("mn"))
+        .select(
+            F.col("mn").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
     return pairs.unionByName(star).dropDuplicates(["src", "dst"])
 

@@ -166,9 +166,12 @@ def build_kg(
         # CC labels are localCheckpoints), so time it as its own stage even
         # though nothing hits the warehouse.
         t0 = time.monotonic()
+        # localCheckpoint: edges builds two broadcast maps from cmap and
+        # nodes joins it once more — materialize the tiny relation once
+        # instead of re-executing the pages-join per consumer.
         cmap = build_canonical_map(
             pages, threshold=link_threshold, num_partitions=p_small
-        )
+        ).localCheckpoint()
         res.stage_rows["canon_map"] = record(
             "canon_map", cmap, (time.monotonic() - t0) * 1000, status="ephemeral"
         )

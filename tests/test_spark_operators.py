@@ -164,16 +164,20 @@ def test_cc_fixpoint_guard_fires_on_long_chain(spark):
         [(i, i + 1) for i in range(10)], ["src", "dst"]
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(path_edges, max_iter=2)
+        connected_components(path_edges, max_iter=2, driver_max_edges=0)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        labels = connected_components(path_edges, max_iter=2, on_max_iter="warn")
+        labels = connected_components(
+            path_edges, max_iter=2, on_max_iter="warn", driver_max_edges=0
+        )
         labels.collect()
     assert any("fixpoint" in str(w.message) for w in caught)
     # enough iterations -> converges, no guard
     comp = {
         r["id"]: r["component"]
-        for r in connected_components(path_edges, max_iter=15).collect()
+        for r in connected_components(
+            path_edges, max_iter=15, driver_max_edges=0
+        ).collect()
     }
     assert all(c == 0 for c in comp.values())
 
@@ -383,3 +387,22 @@ def test_multimodal_features_feed_ann(spark, sf_dir):
     topk = brute_force_topk(emb, n_queries=3, k=2, id_col="doc_id", vec_col="embedding")
     got = topk.collect()
     assert len(got) > 0 and all(r["rank"] <= 2 for r in got)
+
+
+def test_cc_driver_union_find_matches_distributed(spark):
+    """The small-graph driver union-find path must produce exactly the
+    labels of the distributed hash-min path, long chains included (the
+    driver path has no diameter limit)."""
+    edges = [(i, i + 1) for i in range(10)]          # path 0..10
+    edges += [(20, 21), (21, 22), (20, 22)]          # triangle
+    edges += [(30, 31)]                              # isolated pair
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        (r["id"], r["component"]) for r in connected_components(df).collect()
+    }
+    slow = {
+        (r["id"], r["component"])
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == slow
+    assert {c for _, c in fast} == {0, 20, 30}
