@@ -203,30 +203,69 @@ class _Renderer:
             fence += "`"
         return f"{fence}{lang}\n{code}\n{fence}"
 
-    def _render_list(self, n: _Node, depth: int = 0) -> str:
+    def _render_list(self, n: _Node, indent: str = "") -> str:
+        """GFM list. Continuation content (nested lists, extra paragraphs,
+        code blocks, blockquotes...) is indented by the MARKER's width —
+        CommonMark scopes continuation to the first column after the marker,
+        so the fixed 2-space indent the old renderer used silently de-nested
+        anything under an ordered item ('1. ' is 3 wide). `<ol start=N>` is
+        honored like pandoc does."""
         ordered = n.tag == "ol"
+        try:
+            idx = int((n.attrs.get("start") or "1").strip())
+        except ValueError:
+            idx = 1
         lines: list[str] = []
-        idx = 1
         for li in n.children:
             if li.tag != "li":
                 continue
             marker = f"{idx}. " if ordered else "- "
             idx += 1
-            # split li children into inline content and nested lists
-            inline_nodes: list[_Node] = []
-            sub_parts: list[str] = []
+            cont = indent + " " * len(marker)
+            # order-preserving segmentation: leading inline run (or a lone
+            # leading <p>, which pandoc unwraps) -> the item's head line;
+            # every further child -> an indented continuation block.
+            segments: list[tuple[str, object]] = []
+            run: list[_Node] = []
+
+            def flush():
+                if run:
+                    segments.append(("inline", list(run)))
+                    run.clear()
+
             for c in li.children:
                 if c.tag in ("ul", "ol"):
-                    sub_parts.append(self._render_list(c, depth + 1))
-                elif c.tag == "p":
-                    inline_nodes.extend(c.children)
+                    flush()
+                    segments.append(("list", c))
+                elif c.tag and not self._is_inline(c):
+                    flush()
+                    segments.append(("block", c))
                 else:
-                    inline_nodes.append(c)
-            text = _collapse_ws(self._render_inline_nodes(inline_nodes)).strip()
-            indent = "  " * depth
-            lines.append(indent + marker + text)
-            for sp in sub_parts:
-                lines.append(sp)
+                    run.append(c)
+            flush()
+            head = ""
+            if segments and segments[0][0] == "inline":
+                head = _collapse_ws(self._render_inline_nodes(segments[0][1])).strip()
+                segments = segments[1:]
+            elif segments and segments[0][0] == "block" and segments[0][1].tag == "p":
+                head = _collapse_ws(
+                    self._render_inline_nodes(segments[0][1].children)
+                ).strip()
+                segments = segments[1:]
+            lines.append(indent + marker + head)
+            for kind, payload in segments:
+                if kind == "list":
+                    lines.append(self._render_list(payload, cont))
+                    continue
+                if kind == "inline":
+                    txt = _collapse_ws(self._render_inline_nodes(payload)).strip()
+                    rendered = [txt] if txt else []
+                else:
+                    rendered = self._render_block(payload)
+                for blk in rendered:
+                    lines.append("")
+                    for bl in blk.split("\n"):
+                        lines.append((cont + bl) if bl else "")
         return "\n".join(lines)
 
     def _render_dl(self, n: _Node) -> str:

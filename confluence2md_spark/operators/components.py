@@ -49,10 +49,14 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(
-        rows, schema=f"id {id_type}, component {id_type}"
-    )
+    import pandas as pd
+
+    # Arrow path: a pandas frame ships to the JVM as Arrow batches — the
+    # list-of-tuples route pickles row-by-row and is the serial hot spot at
+    # ~100k+ labels.
+    ids = list(parent)
+    pdf = pd.DataFrame({"id": ids, "component": [find(x) for x in ids]})
+    return spark.createDataFrame(pdf, schema=f"id {id_type}, component {id_type}")
 
 
 def connected_components(

@@ -242,3 +242,36 @@ def test_raw_fallback_reescapes_decoded_text():
     )
     assert "&lt;script&gt;" in md and "<script>" not in md
     assert "x&amp;y" in md
+
+
+def test_ol_start_attribute_honored():
+    md = html_to_markdown("<ol start='5'><li>five</li><li>six</li></ol>")
+    assert "5. five" in md and "6. six" in md
+
+
+def test_nested_list_under_ol_indents_by_marker_width():
+    # '1. ' is 3 columns wide — CommonMark needs >=3 spaces of indent for
+    # the nested list to stay INSIDE the item (2 would de-nest it)
+    md = html_to_markdown(
+        "<ol><li>outer<ul><li>inner</li></ul></li><li>next</li></ol>"
+    )
+    assert "1. outer\n   - inner\n2. next" in md
+
+
+def test_multi_paragraph_list_item_keeps_paragraphs():
+    md = html_to_markdown("<ul><li><p>first</p><p>second</p></li></ul>")
+    assert "- first\n\n  second" in md
+
+
+def test_code_block_inside_list_item():
+    md = html_to_markdown(
+        "<ul><li>item<pre><code>x = 1\ny = 2</code></pre></li></ul>"
+    )
+    assert "- item\n\n  ```\n  x = 1\n  y = 2\n  ```" in md
+
+
+def test_deep_nesting_three_levels():
+    md = html_to_markdown(
+        "<ol><li>a<ol><li>b<ul><li>c</li></ul></li></ol></li></ol>"
+    )
+    assert "1. a\n   1. b\n      - c" in md
