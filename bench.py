@@ -74,6 +74,22 @@ def main() -> int:
     extras["kg_triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
     extras["kg_stage_wall_s"] = stage_min
+    # closed-form cross-check (independent engine, untimed): the tiled
+    # corpus still has an exact expected edge count — report it so any
+    # drift shows up IN the bench line, not just in CORRECTNESS
+    try:
+        import subprocess as _sp
+
+        exp = json.loads(
+            _sp.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "expected_counts.py"), SF_DIR, str(REPLICATE)],
+                capture_output=True, text=True, timeout=300, check=True,
+            ).stdout
+        )
+        extras["kg_triples_expected"] = exp["expected_edges_total"]
+        extras["kg_triples_exact"] = bool(n_triples == exp["expected_edges_total"])
+    except Exception:
+        pass
 
     # --- headline analytical queries (each timed to completion).
     qs = entrymod.queries()
