@@ -415,6 +415,12 @@ class _Renderer:
             return f"![{alt}]({src})"
         if t == "br":
             return "\n"
+        if t == "input":
+            # GFM task-list checkbox (pandoc gfm emits '- [ ] / - [x]');
+            # any other input kind has no GFM form and is dropped
+            if (n.attrs.get("type") or "").lower() == "checkbox":
+                return "[x] " if "checked" in n.attrs else "[ ] "
+            return ""
         if t in _DROP_TAGS:
             return ""
         if t in _RAW_INLINE_TAGS:

@@ -26,8 +26,11 @@ def build_canonical_map(
 ) -> DataFrame:
     """(doc_id, canon_id) for every page; identity where no alias exists.
 
-    Alias edges come from MinHash/LSH over page titles (I2); components from
-    iterative hash-min (I3); canonical id = min doc_id in the component.
+    Alias edges come from the deterministic df-capped token inverted index
+    over page titles (I2's short-string path; `linking.token_block_pairs` —
+    documents use MinHash/LSH); components from the hybrid CC operator (I3:
+    driver union-find under the pair cap, iterative hash-min above it);
+    canonical id = min doc_id in the component.
 
     `num_partitions` should track the TITLE volume, not the cluster width —
     title rows are tiny, and oversizing this stage drowns it in task

@@ -275,3 +275,13 @@ def test_deep_nesting_three_levels():
         "<ol><li>a<ol><li>b<ul><li>c</li></ul></li></ol></li></ol>"
     )
     assert "1. a\n   1. b\n      - c" in md
+
+
+def test_gfm_task_list_checkboxes():
+    md = html_to_markdown(
+        '<ul><li><input type="checkbox" checked/>done</li>'
+        '<li><input type="checkbox">todo</li></ul>'
+    )
+    assert "- [x] done" in md and "- [ ] todo" in md
+    # non-checkbox inputs have no GFM form
+    assert "input" not in html_to_markdown('<p>a<input type="text">b</p>')
