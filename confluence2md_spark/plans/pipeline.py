@@ -146,8 +146,10 @@ def build_kg(
             ckpt.mark_complete("pages", path)
     # Linking/CC operate on titles (tiny rows): partition by data volume, not
     # cluster width — oversizing these stages costs more in task scheduling
-    # than the work itself (see build_canonical_map docstring).
-    p_small = max(4, min(num_partitions, res.stage_rows["pages"] // 20_000 + 1))
+    # than the work itself (measured at 1.16M titles on local[32]: 59
+    # partitions 4.6-10.8 s vs 8-16 partitions 3.4-3.8 s). ~100k title rows
+    # (~5 MB) per partition; a 10^9-title corpus still fans out to 10k tasks.
+    p_small = max(4, min(num_partitions, res.stage_rows["pages"] // 100_000 + 1))
     if materialize_intermediates or dry_run:
         # first-class mentions table (SURVEY §1.2): raw mention occurrences
         # for auditing linking recall; not on the edges critical path, so
