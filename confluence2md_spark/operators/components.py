@@ -59,6 +59,90 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=f"id {id_type}, component {id_type}")
 
 
+def _star_contraction(
+    edges: DataFrame, src: str, dst: str, max_iter: int, on_max_iter: str
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond' — public algorithm):
+    converges in O(log n) ROUNDS on ANY graph, including long chains where
+    hash-min needs O(diameter). Each round is two phases; each phase is one
+    groupBy + one join over the (shrinking) edge set:
+
+      large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})
+      small-star(u): connect every neighbor v ≤ u, and u itself, to m
+
+    At the fixpoint the edge set is a star forest rooted at component
+    minima; labels read off as (child -> root), roots/isolated map to self.
+    Convergence detect: (count, folded-hash-sum) pair stable across a
+    round — hashes folded into [0, 2^31) before the sum so ANSI mode
+    cannot overflow below ~2^31 edges per partition aggregate."""
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    vertices = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def with_min(df: DataFrame) -> DataFrame:
+        s = sym(df)
+        mins = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        return s.join(mins, "u")
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    e = e0.distinct().localCheckpoint()
+    sig = signature(e)
+    converged = False
+    for _ in range(max_iter):
+        sm = with_min(e)
+        large = sm.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        e_l = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+        sm2 = with_min(e_l)
+        small = sm2.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(sm2.select("u", F.col("m").alias("v")))
+        e = small.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+        new_sig = signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        msg = (
+            f"star-contraction did not stabilize within max_iter={max_iter} "
+            f"rounds; components converge in O(log n) rounds, so this "
+            f"indicates an input far larger than max_iter accounts for."
+        )
+        if on_max_iter == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
+    child_root = e.groupBy("u").agg(F.min("v").alias("root"))
+    return vertices.join(
+        child_root.withColumnRenamed("u", "id"), "id", "left"
+    ).select("id", F.coalesce("root", F.col("id")).alias("component"))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -66,6 +150,7 @@ def connected_components(
     max_iter: int = 20,
     on_max_iter: str = "raise",
     driver_max_edges: int = 2_000_000,
+    distributed_algorithm: str = "hashmin",
 ) -> DataFrame:
     """(id, component) for every vertex appearing in `edges`;
     component = min vertex id in the component.
@@ -75,8 +160,12 @@ def connected_components(
     labels come from a driver-side union-find — one collect job instead of
     O(diameter) shuffle+probe iterations (measured 2.6-3.3 s -> ~0.4 s at
     3.1k pairs on a fresh JVM). Past the cap — a corpus whose DUPLICATE
-    set alone is tens of millions of pages — the iterative distributed
-    hash-min below takes over; pass `driver_max_edges=0` to force it.
+    set alone is tens of millions of pages — a distributed algorithm takes
+    over (`driver_max_edges=0` forces it): `distributed_algorithm=
+    "hashmin"` (default; O(diameter) iterations — right for the near-clique
+    alias graphs this pipeline produces) or `"starstar"` (alternating
+    large-star/small-star contraction, O(log n) rounds on ANY graph — the
+    choice when the diameter is unknown or adversarial).
 
     Fixpoint guard (distributed path): hash-min needs O(diameter)
     iterations; if labels are STILL changing when `max_iter` is exhausted
@@ -89,6 +178,10 @@ def connected_components(
     """
     if driver_max_edges and edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
         return _driver_union_find(edges, src, dst)
+    if distributed_algorithm == "starstar":
+        # O(log n)-round star contraction — the choice for graphs whose
+        # diameter is unknown or adversarial (hash-min is O(diameter))
+        return _star_contraction(edges, src, dst, max_iter, on_max_iter)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -406,3 +406,41 @@ def test_cc_driver_union_find_matches_distributed(spark):
     }
     assert fast == slow
     assert {c for _, c in fast} == {0, 20, 30}
+
+
+def test_cc_star_contraction_matches_other_paths(spark):
+    """large/small-star contraction must label exactly like union-find and
+    hash-min on a mixed graph (path + triangle + isolated pair)."""
+    edges = [(i, i + 1) for i in range(8)]
+    edges += [(20, 21), (21, 22), (20, 22), (30, 31)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want = {
+        (r["id"], r["component"]) for r in connected_components(df).collect()
+    }
+    star = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            df, driver_max_edges=0, distributed_algorithm="starstar"
+        ).collect()
+    }
+    assert star == want
+
+
+def test_cc_star_contraction_handles_long_chain_in_log_rounds(spark):
+    """A diameter-40 path: hash-min cannot converge in 8 iterations (guard
+    fires), star contraction labels it correctly in O(log n) rounds."""
+    import pytest
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(path_edges, max_iter=8, driver_max_edges=0)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            path_edges, max_iter=8, driver_max_edges=0,
+            distributed_algorithm="starstar",
+        ).collect()
+    }
+    assert len(comp) == 41 and all(c == 0 for c in comp.values())
