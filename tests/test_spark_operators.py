@@ -444,3 +444,27 @@ def test_cc_star_contraction_handles_long_chain_in_log_rounds(spark):
         ).collect()
     }
     assert len(comp) == 41 and all(c == 0 for c in comp.values())
+
+
+def test_cc_paths_agree_on_random_graph(spark):
+    """Randomized (seeded) 5k-edge graph: union-find, hash-min and star
+    contraction must produce identical labelings."""
+    import random
+
+    rnd = random.Random(42)
+    edges = list({
+        (rnd.randrange(2000), rnd.randrange(2000)) for _ in range(5000)
+    })
+    df = spark.createDataFrame(edges, ["src", "dst"]).filter("src != dst")
+    uf = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    hm = {
+        (r["id"], r["component"])
+        for r in connected_components(df, driver_max_edges=0, max_iter=40).collect()
+    }
+    ss = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            df, driver_max_edges=0, distributed_algorithm="starstar"
+        ).collect()
+    }
+    assert uf == hm == ss
