@@ -217,6 +217,21 @@ def _kg_canon_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cmap(spark, sf_dir).select("doc_id", "canon_id").orderBy("doc_id")
 
 
+def _kg_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-component size distribution — a two-level aggregation over the
+    linking+CC output (how many pages resolved into components of each
+    size). Exercises a different shape of the I2-I4 chain than kg_canon_map
+    (per-row) and kg_nodes_pages (per-component)."""
+    return (
+        _cmap(spark, sf_dir)
+        .groupBy("canon_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("sz")
+    )
+
+
 def _kg_nodes_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = build_nodes(
         _pages(spark, sf_dir), _cmap(spark, sf_dir), _edges(spark, sf_dir)
@@ -708,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_has_attachment": _kg_has_attachment,
         "kg_triples_by_pred": _kg_triples_by_pred,
         "kg_canon_map": _kg_canon_map,
+        "kg_component_sizes": _kg_component_sizes,
         "kg_nodes_pages": _kg_nodes_pages,
         "kg_edges_canonical": _kg_edges_canonical,
         "kg_top_linked": _kg_top_linked,
@@ -826,6 +842,13 @@ ORDER BY pred""",
         "kg_canon_map": f"""
 SELECT doc_id, {canon_id_sql('doc_id')} AS canon_id FROM documents WHERE {IS_PAGE_SQL}
 ORDER BY doc_id""",
+        "kg_component_sizes": f"""
+WITH cm AS (
+  SELECT {canon_id_sql('doc_id')} AS canon_id FROM documents WHERE {IS_PAGE_SQL}
+), s AS (
+  SELECT canon_id, count(*) AS sz FROM cm GROUP BY canon_id
+)
+SELECT sz, count(*) AS n_components FROM s GROUP BY sz ORDER BY sz""",
         "kg_nodes_pages": f"""
 WITH {_PAGES_CTE}
 SELECT 'page:' || CAST(min(doc_id) AS STRING) AS node_id,
