@@ -155,7 +155,9 @@ def resolve_mentions(
     titl = title_dict.select(
         "target_page", "tnorm", tokset(F.col("tnorm")).alias("ttoks")
     )
-    t_tokens = titl.select("target_page", "ttoks", F.explode("ttoks").alias("tok"))
+    t_tokens = titl.select(
+        "target_page", "tnorm", "ttoks", F.explode("ttoks").alias("tok")
+    )
     hot = (
         t_tokens.groupBy("tok")
         .count()
@@ -167,11 +169,19 @@ def resolve_mentions(
     jac = F.size(F.array_intersect("stoks", "ttoks")) / F.size(
         F.array_union("stoks", "ttoks")
     )
+    # jaccard is computed per DISTINCT (snorm, tnorm) candidate and only then
+    # aggregated to max-per-(snorm, target_page): two distinct titles can map
+    # to one canonical page (aliased near-identical titles), and deduping on
+    # (snorm, target_page) BEFORE scoring would keep an arbitrary title's
+    # token set — a surface matching the other title at >= threshold would be
+    # scored against the wrong tokens and dropped (ADVICE r2).
     cand = (
         s_tokens.join(t_tokens, "tok")
-        .select("snorm", "stoks", "target_page", "ttoks")
-        .dropDuplicates(["snorm", "target_page"])
+        .select("snorm", "stoks", "target_page", "tnorm", "ttoks")
+        .dropDuplicates(["snorm", "tnorm"])
         .withColumn("jaccard", jac)
+        .groupBy("snorm", "target_page")
+        .agg(F.max("jaccard").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     best = cand.groupBy("snorm").agg(

@@ -218,10 +218,15 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str = "v") -> D
 
     def _batches(it):
         for pdf in it:
-            m = np.stack(pdf[vec_col].to_numpy())
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             pdf = pdf.copy()
-            pdf["cell"] = (mn @ cn.T).argmax(axis=1).astype("int32")
+            if len(pdf):
+                m = np.stack(pdf[vec_col].to_numpy())
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                pdf["cell"] = (mn @ cn.T).argmax(axis=1).astype("int32")
+            else:
+                # np.stack raises on an empty batch (ADVICE r2) — same guard
+                # _lsh_buckets_df already carries
+                pdf["cell"] = np.array([], dtype="int32")
             yield pdf
 
     schema = ", ".join(
@@ -275,6 +280,8 @@ def ivf_topk(
     ).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    spark = embeddings.sparkSession
+    empty_schema = "q long, neighbor long, cosine double, rank int"
     base = base.persist()
     try:
         seed_rows = (
@@ -283,6 +290,11 @@ def ivf_topk(
             .limit(n_centroids)
             .collect()
         )
+        if not seed_rows:
+            # empty embeddings input: no centroids, no probes — return an
+            # empty result instead of letting createDataFrame([]) fail on
+            # schema inference (ADVICE r2)
+            return spark.createDataFrame([], empty_schema)
         centroids = np.array([r["v"] for r in seed_rows], dtype=np.float64)
         for _ in range(lloyd_iters):
             assigned = _assign_cells(base, centroids)
@@ -305,7 +317,9 @@ def ivf_topk(
             qv = qv / max(np.linalg.norm(qv), 1e-12)
             for cell in (qv @ cn.T).argsort()[::-1][:n_probe]:
                 probes.append((r["id"], r["v"], int(cell)))
-        spark = embeddings.sparkSession
+        if not probes:
+            # no ids < n_queries: nothing to search for
+            return spark.createDataFrame([], empty_schema)
         probe_df = spark.createDataFrame(probes, ["q", "qv", "cell"]).withColumn(
             "qv", F.col("qv").cast("array<double>")
         )

@@ -25,48 +25,53 @@ def _namespace() -> str:
     return os.environ.get("KG_NAMESPACE", "kg")
 
 
-_NAMESPACE = _namespace()
-
 # Cluster-side DDL (documented here, executed when KG_USE_ICEBERG=1 on a
 # Spark with the Iceberg runtime): partition transforms chosen per table —
 # raw_files bucketed by repo so one repo's files spread over N buckets
 # (pre-defusing hot-repo scan skew), edges partitioned by predicate (every
 # downstream query filters on pred), nodes by node_type.
-ICEBERG_DDL = {
-    "raw_files": f"""
-CREATE TABLE IF NOT EXISTS {_NAMESPACE}.raw_files (
+#
+# A FUNCTION, not a module constant: the namespace must resolve at the same
+# time load_table/write_table resolve it (call time), otherwise setting
+# KG_NAMESPACE after import would create tables in one namespace and
+# read/write another.
+def iceberg_ddl() -> dict[str, str]:
+    ns = _namespace()
+    return {
+        "raw_files": f"""
+CREATE TABLE IF NOT EXISTS {ns}.raw_files (
   repo STRING, path STRING, commit STRING, lang STRING, content STRING)
 USING iceberg PARTITIONED BY (bucket(256, repo))""",
-    "pages": f"""
-CREATE TABLE IF NOT EXISTS {_NAMESPACE}.pages (
+        "pages": f"""
+CREATE TABLE IF NOT EXISTS {ns}.pages (
   doc_id BIGINT, repo STRING, path STRING, commit STRING, status STRING,
   title STRING, markdown STRING, content_sha256 STRING, md_chars INT,
   authors ARRAY<STRUCT<username: STRING, display_name: STRING>>,
   attachments ARRAY<STRUCT<filename: STRING, media_type: STRING,
                            size_bytes: BIGINT, sha256: STRING>>)
 USING iceberg PARTITIONED BY (bucket(64, repo))""",
-    "edges": f"""
-CREATE TABLE IF NOT EXISTS {_NAMESPACE}.edges (
+        "edges": f"""
+CREATE TABLE IF NOT EXISTS {ns}.edges (
   subj STRING, pred STRING, obj STRING, subj_type STRING, obj_type STRING,
   confidence DOUBLE, n_sources BIGINT, repo STRING)
 USING iceberg PARTITIONED BY (pred)""",
-    "nodes": f"""
-CREATE TABLE IF NOT EXISTS {_NAMESPACE}.nodes (
+        "nodes": f"""
+CREATE TABLE IF NOT EXISTS {ns}.nodes (
   node_id STRING, node_type STRING, canonical_name STRING,
   aliases ARRAY<STRING>, repo STRING)
 USING iceberg PARTITIONED BY (node_type)""",
-    "mentions": f"""
-CREATE TABLE IF NOT EXISTS {_NAMESPACE}.mentions (
+        "mentions": f"""
+CREATE TABLE IF NOT EXISTS {ns}.mentions (
   doc_id BIGINT, kind STRING, surface STRING, target_raw STRING,
   pos INT, context STRING)
 USING iceberg PARTITIONED BY (kind)""",
-}
+    }
 
 
 def ensure_tables(spark: SparkSession) -> None:
     """Create the Iceberg tables (no-op in the parquet-backed sandbox)."""
     if _use_iceberg():
-        for ddl in ICEBERG_DDL.values():
+        for ddl in iceberg_ddl().values():
             spark.sql(ddl)
 
 
@@ -158,15 +163,29 @@ def merge_edges(
         delta.createOrReplaceTempView("edges_delta")
         spark.sql(MERGE_EDGES_SQL.format(ns=_namespace()))
         return f"{_namespace()}.edges"
+    final = os.path.join(warehouse, "edges")
+    if not os.path.exists(final):
+        # first delta: no existing table — the delta IS the table
+        delta.write.mode("overwrite").partitionBy("pred").parquet(final)
+        return final
     existing = load_table(spark, warehouse, "edges")
     merged = merge_edges_delta(existing, delta)
-    # parquet cannot rewrite in place while reading — stage then swap
+    # parquet cannot rewrite in place while reading — stage then swap.
+    # Swap order is crash-safe: final -> backup, staging -> final, drop
+    # backup. A crash mid-swap leaves either the old table (step 1 only)
+    # or the new one plus a removable .bak dir — never NO edges table
+    # (the old rmtree-then-rename had exactly that window).
     import shutil
     import tempfile
 
     staging = tempfile.mkdtemp(prefix="edges_merge_", dir=warehouse)
     merged.write.mode("overwrite").partitionBy("pred").parquet(staging)
-    final = os.path.join(warehouse, "edges")
-    shutil.rmtree(final)
-    os.rename(staging, final)
+    backup = f"{final}.bak-{os.path.basename(staging)}"
+    os.rename(final, backup)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        os.rename(backup, final)  # roll back: old table restored
+        raise
+    shutil.rmtree(backup)
     return final

@@ -148,6 +148,19 @@ def streaming_sessionize(
     Purely event-time driven (no processing-time timeout), so replaying the
     same drops yields the same sessions — the property the tests pin.
 
+    Late events (inside the watermark, arriving in a LATER micro-batch, so
+    t < last_ts) are handled explicitly (ADVICE r2 — the old fold let them
+    regress last_ts, corrupting session_end and splitting sessions):
+    * within `gap_seconds` of the open session's start (or inside its span):
+      MERGED — start_ts extends backwards, last_ts never regresses, so
+      session_end is always the session's max event time, matching the
+      batch sessionizer whenever the late event belongs to the open session.
+    * older than that: its true session was already emitted, and append-mode
+      streaming cannot retract — emitted as a singleton session. This is the
+      one documented divergence from batch (inherent to append mode: a late
+      event that would BRIDGE two already-separated sessions cannot merge
+      rows that left the sink).
+
     Scale: state is 3 scalars per ACTIVE user, partitioned by user_id —
     the same shuffle key the batch sessionizer uses."""
     import pandas as pd  # noqa: F401 (imported for executors)
@@ -167,12 +180,21 @@ def streaming_sessionize(
         for ts in batch_ts:
             t = ts.timestamp()
             if last_ts is None:
-                start_ts, n = t, 0
-            elif t - last_ts > gap_seconds:
-                out.append((user_id, start_ts, last_ts, n))
-                start_ts, n = t, 0
-            last_ts = t
-            n += 1
+                start_ts, last_ts, n = t, t, 1
+            elif t >= last_ts:
+                if t - last_ts > gap_seconds:
+                    out.append((user_id, start_ts, last_ts, n))
+                    start_ts, n = t, 0
+                last_ts = t
+                n += 1
+            elif t >= start_ts - gap_seconds:
+                # cross-batch late event belonging to the open session:
+                # merge; last_ts (= session_end) must not regress
+                start_ts = min(start_ts, t)
+                n += 1
+            else:
+                # too old to merge — its session already left the sink
+                out.append((user_id, t, t, 1))
         state.update((last_ts, start_ts, n))
         import pandas as pd
 

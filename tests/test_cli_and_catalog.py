@@ -9,6 +9,7 @@ writeTo branch use the shared session / mocks.
 from __future__ import annotations
 
 import io
+import os
 import sys
 from contextlib import redirect_stderr, redirect_stdout
 from unittest import mock
@@ -92,7 +93,7 @@ def test_iceberg_ddl_strings_parse(spark):
     """Every DDL must be valid Spark SQL syntax (parser only — the sandbox
     has no Iceberg jars, so execution is exercised via mocks below)."""
     parser = spark._jsparkSession.sessionState().sqlParser()
-    for name, ddl in catalog.ICEBERG_DDL.items():
+    for name, ddl in catalog.iceberg_ddl().items():
         plan = parser.parsePlan(ddl)  # raises ParseException on bad syntax
         assert "iceberg" in ddl and name in ddl
 
@@ -116,7 +117,7 @@ def test_iceberg_write_and_load_branch(monkeypatch):
 
     ens = mock.MagicMock()
     catalog.ensure_tables(ens)
-    assert ens.sql.call_count == len(catalog.ICEBERG_DDL)
+    assert ens.sql.call_count == len(catalog.iceberg_ddl())
 
 
 def test_parquet_branch_unaffected_by_env(monkeypatch, tmp_path, spark):
@@ -181,3 +182,30 @@ def test_merge_edges_iceberg_branch(monkeypatch):
     assert out == "testns.edges"
     delta.createOrReplaceTempView.assert_called_once_with("edges_delta")
     sp.sql.assert_called_once_with(catalog.MERGE_EDGES_SQL.format(ns="testns"))
+
+
+def test_merge_edges_first_delta_creates_table(spark, tmp_path):
+    """First merge with NO existing edges table must create it rather than
+    crash in rmtree/load (ADVICE r2)."""
+    delta = spark.createDataFrame(
+        [("a", "links_to", "b", "page", "page", 1.0, 2, "r0")],
+        "subj string, pred string, obj string, subj_type string, "
+        "obj_type string, confidence double, n_sources long, repo string",
+    )
+    wh = str(tmp_path)
+    out = catalog.merge_edges(spark, wh, delta)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["n_sources"] == 2
+    # second merge goes through the staged-swap path and leaves no debris
+    catalog.merge_edges(spark, wh, delta)
+    rows2 = spark.read.parquet(f"{wh}/edges").collect()
+    assert len(rows2) == 1 and rows2[0]["n_sources"] == 4
+    assert not [d for d in os.listdir(wh) if d.startswith("edges.bak")]
+
+
+def test_iceberg_ddl_namespace_resolves_at_call_time(monkeypatch):
+    """Setting KG_NAMESPACE after import must reach the DDL, so ensure_tables
+    and load/write agree on the namespace (ADVICE r2)."""
+    monkeypatch.setenv("KG_NAMESPACE", "late_ns")
+    for ddl in catalog.iceberg_ddl().values():
+        assert "late_ns." in ddl

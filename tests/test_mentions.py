@@ -120,3 +120,30 @@ def test_resolution_never_merges_pages_via_shared_anchor(spark):
     )
     res = resolve_mentions(extract_mentions(pages), pages).collect()
     assert {(r["doc_id"], r["target_page"]) for r in res} == {(1, 3), (2, 3)}
+
+def test_fuzzy_scores_against_best_alias_title(spark):
+    """Two DISTINCT normalized titles aliased to ONE canonical page: the
+    fuzzy tier must score the surface against EACH title and keep the max,
+    not an arbitrary survivor of a pre-score (snorm, target_page) dedup
+    (ADVICE r2). Surface 'old release notes 2024' has Jaccard 0.75 vs
+    'Release Notes 2024' but 0.167 vs its alias 'Release Archive Dump' —
+    both candidates share the token 'release', so the old code could keep
+    the wrong token set and drop the match at threshold 0.7."""
+    md = "[old release notes 2024](/wiki/spaces/S/pages/9/x)"
+    pages = _pages(
+        spark,
+        [
+            (1, "ok", "One", md, []),
+            (2, "ok", "Release Notes 2024", "# A\n", []),
+            (3, "ok", "Release Archive Dump", "# B\n", []),
+        ],
+    )
+    cmap = spark.createDataFrame([(2, 2), (3, 2)], ["doc_id", "canon_id"])
+    res = [
+        r
+        for r in resolve_mentions(
+            extract_mentions(pages), pages, cmap, threshold=0.7
+        ).collect()
+        if r["doc_id"] == 1 and r["method"] == "fuzzy"
+    ]
+    assert len(res) == 1 and res[0]["target_page"] == 2

@@ -273,6 +273,19 @@ def test_ivf_recall_vs_brute_on_clustered_data(spark):
     assert iset == ivf2
 
 
+def test_ivf_empty_inputs(spark):
+    """Empty embeddings / no ids below n_queries: empty result, not a
+    createDataFrame schema-inference ValueError (ADVICE r2)."""
+    from confluence2md_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_topk(empty, n_queries=5, k=3, n_centroids=4).count() == 0
+    some = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    assert ivf_topk(some, n_queries=5, k=3, n_centroids=2).count() == 0
+
+
 def test_hot_keys_and_salted_repartition(spark, sf_dir):
     from confluence2md_spark.sources.corpus import synth_raw_files
 

@@ -143,3 +143,52 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     r = rows[0]
     assert r["user_id"] == 1 and r["n_events"] == 3
     assert r["session_start"].hour == 9 and r["session_end"].minute == 20
+
+
+def test_streaming_sessionize_late_event_merges_into_open_session(spark, tmp_path):
+    """A late event (inside the watermark) arriving in a LATER micro-batch
+    must merge into the open session without regressing session_end
+    (ADVICE r2: the old fold let last_ts regress, then split the session)."""
+    from confluence2md_spark.streaming.incremental import run_streaming_sessionize
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    from datetime import datetime as dt
+
+    def drop(rows, mode):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.mode(mode).parquet(src)
+
+    # batch 1: open session 09:00 .. 09:20
+    drop(
+        [(1, dt(2025, 1, 1, 9, 0), 1, "a", 1.0, "{}"),
+         (2, dt(2025, 1, 1, 9, 20), 1, "a", 1.0, "{}")],
+        "overwrite",
+    )
+    run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800).awaitTermination(120)
+
+    # batch 2: LATE event at 09:10 (inside the open session's span) plus a
+    # same-batch 09:25 extension. Old code: last_ts regressed to 09:10, then
+    # 09:25 - 09:10 < gap keeps going but session_end bookkeeping is wrong;
+    # worse orderings split the session.
+    drop(
+        [(3, dt(2025, 1, 1, 9, 10), 1, "a", 1.0, "{}"),
+         (4, dt(2025, 1, 1, 9, 25), 1, "a", 1.0, "{}")],
+        "append",
+    )
+    run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800).awaitTermination(120)
+
+    # batch 3: gap-crossing event closes the session -> ONE session with all
+    # 4 events, end = the true max ts 09:25 (matches the batch sessionizer
+    # over the union of drops)
+    drop([(5, dt(2025, 1, 1, 12, 0), 1, "a", 1.0, "{}")], "append")
+    run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800).awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 4
+    assert (r["session_start"].hour, r["session_start"].minute) == (9, 0)
+    assert (r["session_end"].hour, r["session_end"].minute) == (9, 25)
