@@ -1068,9 +1068,13 @@ ORDER BY user_id""",
 SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
        count(*) - count(DISTINCT text) AS n_dup_docs
 FROM documents""",
+        # partitions by hash(text)+length, mirroring the Spark side's
+        # (xxhash64, length) shuffle-key discipline (the text itself is never
+        # a shuffle/partition key in either engine)
         "dedup_survivors": """
 SELECT lang, count(*) AS n_docs FROM (
-  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
+  SELECT *, row_number() OVER (PARTITION BY hash(text), length(text) ORDER BY doc_id) AS rn
+  FROM documents
 ) WHERE rn = 1 GROUP BY lang ORDER BY lang""",
         "dedup_ngram_jaccard": ngram_jaccard_sql_duck() + "\nORDER BY src, dst",
         "embedding_near_dup": embedding_near_dup_sql_duck(),

@@ -481,3 +481,27 @@ def test_cc_paths_agree_on_random_graph(spark):
         ).collect()
     }
     assert uf == hm == ss
+
+
+def test_exact_dedup_survivors_never_shuffles_text(spark):
+    """VERDICT r2 'what's wrong' #1: the survivor pick must shuffle the
+    (xxhash64, length) key, never the document text — the physical plan's
+    exchanges must not mention the text column, and the result must equal
+    the semantic definition (min doc_id per distinct text)."""
+    from confluence2md_spark.operators.dedup import exact_dedup_survivors
+
+    rows = [
+        (0, "en", "same text"),
+        (1, "en", "same text"),
+        (2, "de", "same text"),   # dup of 0 -> doc 0 (en) survives
+        (3, "de", "anders"),
+        (4, "fr", "autre"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = exact_dedup_survivors(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"text is a shuffle key: {line}"
+    got = {(r["lang"], r["n_docs"]) for r in out.collect()}
+    assert got == {("en", 1), ("de", 1), ("fr", 1)}
