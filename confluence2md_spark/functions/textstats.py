@@ -6,15 +6,12 @@ identical arithmetic, so the DuckDB oracle verifies the Spark plan
 value-for-value (incl. the rolling fingerprint, which is bit-exact:
 h := (h*31 + ascii(c)) mod (2^31-1) folded left over the characters).
 
-Language-ID is the one pandas-UDF member (per-language stopword/char
-profiles need a lookup table) — Arrow-batched, numpy-vectorized per batch.
+Language-ID is likewise pure column arithmetic (stopword-marker argmax over
+(score, lang) structs + script-range regexes), mirrored in DuckDB.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -126,48 +123,106 @@ def fingerprint_sql_duck(docs: str = "documents") -> str:
 
 # ---------------------------------------------------------------- langid ---
 
-# Tiny per-language marker profiles (substring heuristics; public-knowledge
-# stopword lists). Scored per token; argmax wins, 'en' on ties.
-_LANG_MARKERS: dict[str, set] = {
-    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "with"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"},
-    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "que"},
-    "es": {"el", "la", "los", "las", "es", "un", "una", "que", "en"},
-    "zh": set(),  # CJK detected by codepoint range below
+# Per-language stopword marker lists (public-knowledge function words).
+# Scored per whitespace token; argmax wins. The WHOLE heuristic is plain
+# column arithmetic — no Python in the hot path (r2 used a pandas UDF; the
+# rewrite keeps every row JVM-side AND makes the op DuckDB-mirrorable, which
+# is what converts text_langid from a rows-only driver check to a fully
+# oracle-backed one).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": "der die das und ist nicht mit ein eine zu von auf für im".split(),
+    "en": "the and of to is in that it with for was on as are".split(),
+    "es": "el los las es un una que en por con para no como más".split(),
+    "fr": "le les et est un une dans que pour pas sur avec du au".split(),
+    "it": "il lo gli che di per con non sono della nel alla più".split(),
+    "nl": "het een en van dat niet met op te voor zijn aan ook".split(),
+    "pl": "i w na z do że się nie jest to przez jak po".split(),
+    "pt": "o os um uma que em para com não por mais dos".split(),
+    "sv": "och att det är en ett som för på med av inte den till".split(),
 }
+# Script detection (checked before stopwords, first 2000 chars): kana ->
+# Japanese (checked before CJK — Japanese text contains kanji too),
+# CJK ideographs -> Chinese, Cyrillic -> Russian. Literal codepoint-range
+# character classes work identically in Spark (Java regex) and DuckDB (RE2).
+_KANA_RE = "[぀-ヿ]"  # U+3040..U+30FF hiragana+katakana
+_CJK_RE = "[一-鿿]"  # U+4E00..U+9FFF unified ideographs
+_CYR_RE = "[Ѐ-ӿ]"  # U+0400..U+04FF Cyrillic
 
-
-def _langid_series(texts: pd.Series) -> pd.Series:
-    out = []
-    for t in texts.fillna(""):
-        has_cjk = any("一" <= ch <= "鿿" for ch in t[:2000])
-        if has_cjk:
-            out.append("zh")
-            continue
-        toks = t.lower().split()
-        best, best_score = "en", -1
-        for lang, markers in _LANG_MARKERS.items():
-            if not markers:
-                continue
-            score = sum(1 for tok in toks if tok in markers)
-            if score > best_score:
-                best, best_score = lang, score
-        out.append(best)
-    return pd.Series(out)
+_FULL_CONF = 1_000_000
 
 
 def predict_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, lang, predicted_lang) via an Arrow-batched pandas UDF."""
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "lang": pdf["lang"],
-                    "predicted_lang": _langid_series(pdf[text_col]),
-                }
-            )
+    """(doc_id, lang, predicted_lang, confidence_micros).
 
-    return docs.select("doc_id", "lang", text_col).mapInPandas(
-        _batches, schema="doc_id long, lang string, predicted_lang string"
+    predicted_lang: script-detected ja/zh/ru, else the stopword-argmax
+    language (ties break to the lexicographically LARGEST lang code —
+    array_max over (score, lang) structs, the same comparison both engines
+    implement), else 'und' when no marker hits. confidence_micros:
+    1e6 for script hits, floor(best_score/n_tokens * 1e6) otherwise, 0 for
+    'und'."""
+    toks = tokens_col(F.col(text_col))
+    head = F.substring(F.col(text_col), 1, 2000)
+    scored = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(toks, lambda t: t.isin(*ws)))
+                    .cast("bigint")
+                    .alias("s"),
+                    F.lit(lang).alias("l"),
+                )
+                for lang, ws in LANG_STOPWORDS.items()
+            ]
+        )
     )
+    is_script = head.rlike(_KANA_RE) | head.rlike(_CJK_RE) | head.rlike(_CYR_RE)
+    pred = (
+        F.when(head.rlike(_KANA_RE), F.lit("ja"))
+        .when(head.rlike(_CJK_RE), F.lit("zh"))
+        .when(head.rlike(_CYR_RE), F.lit("ru"))
+        .when(scored["s"] == 0, F.lit("und"))
+        .otherwise(scored["l"])
+    )
+    conf = (
+        F.when(is_script, F.lit(_FULL_CONF).cast("bigint"))
+        .when(scored["s"] == 0, F.lit(0).cast("bigint"))
+        .otherwise(_micros(scored["s"] / F.size(toks)))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        conf.alias("confidence_micros"),
+    )
+
+
+def predict_language_sql_duck(docs: str = "documents") -> str:
+    """DuckDB twin of predict_language — same marker lists, same script
+    regexes, same argmax/tie/confidence arithmetic."""
+    structs = ", ".join(
+        "{{'s': CAST(len(list_filter(toks, t -> t IN ({ws}))) AS BIGINT), 'l': '{lang}'}}".format(
+            ws=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    return f"""WITH base AS (
+  SELECT doc_id, lang, text, left(text, 2000) AS head,
+         {TOKENS_SQL_DUCK.format(t="text")} AS toks
+  FROM {docs}
+), scored AS (
+  SELECT doc_id, lang, head, len(toks) AS n_tok,
+         list_max([{structs}]) AS best
+  FROM base
+)
+SELECT doc_id, lang,
+  CASE WHEN regexp_matches(head, '{_KANA_RE}') THEN 'ja'
+       WHEN regexp_matches(head, '{_CJK_RE}') THEN 'zh'
+       WHEN regexp_matches(head, '{_CYR_RE}') THEN 'ru'
+       WHEN best.s = 0 THEN 'und'
+       ELSE best.l END AS predicted_lang,
+  CASE WHEN regexp_matches(head, '{_KANA_RE}') OR regexp_matches(head, '{_CJK_RE}')
+            OR regexp_matches(head, '{_CYR_RE}') THEN CAST({_FULL_CONF} AS BIGINT)
+       WHEN best.s = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(best.s / CAST(n_tok AS DOUBLE) * 1000000) AS BIGINT) END
+    AS confidence_micros
+FROM scored"""

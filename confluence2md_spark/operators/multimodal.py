@@ -133,9 +133,13 @@ def sample_video_frames(
 
     real=True requires a video decoder (ffmpeg/PyAV, absent here). The stub
     derives a deterministic 'duration' from the payload hash, samples
-    `n_frames` uniform timestamps, and emits payload slices as frames —
-    every downstream contract (schema, per-frame hash, row multiplicity)
-    matches what a real decoder would feed."""
+    `n_frames` uniform timestamps, and emits 64-CHARACTER windows of the
+    UTF-8-decoded payload as fake frames (character windows rather than raw
+    byte slices so the frame bytes stay valid UTF-8 — which is what lets
+    the DuckDB oracle state the exact per-frame sha256; a real decoder
+    swaps in actual pixel buffers at the same seam) — every downstream
+    contract (schema, per-frame hash, row multiplicity) matches what a real
+    decoder would feed."""
     if real:
         raise NotImplementedError(
             "real frame sampling requires a video decoder (ffmpeg/PyAV), "
@@ -147,11 +151,12 @@ def sample_video_frames(
             rows = {"doc_id": [], "frame_idx": [], "ts_seconds": [], "frame": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = p if p is not None else b""
-                d = hashlib.sha256(p).digest()
-                duration = 1.0 + d[3] * 2.0  # fake seconds, deterministic
+                hx = hashlib.sha256(p).hexdigest()
+                s = p.decode("utf-8", "ignore")
+                duration = 1.0 + int(hx[6:8], 16) * 2.0  # digest[3], fake s
                 for i in range(n_frames):
-                    lo = (i * max(1, len(p))) // n_frames
-                    frame = p[lo : lo + 64] or d
+                    lo = (i * max(1, len(s))) // n_frames
+                    frame = s[lo : lo + 64].encode() or hx.encode()
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
                     rows["ts_seconds"].append(duration * i / n_frames)

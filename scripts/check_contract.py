@@ -53,6 +53,14 @@ def _type_class(t: str) -> str:
     their own classes (a decimal128 oracle column vs a bigint Spark column is
     exactly the HUGEINT serialization bug)."""
     t = t.lower()
+    # element-typed containers: spark says 'array<float>', duck's arrow says
+    # 'list<l: float>' — compare the element type classes recursively
+    for prefix in ("array<", "list<", "large_list<"):
+        if t.startswith(prefix) and t.endswith(">"):
+            inner = t[len(prefix):-1]
+            if ":" in inner:
+                inner = inner.split(":", 1)[1].strip()
+            return f"list<{_type_class(inner)}>"
     if t.startswith(("int", "bigint", "smallint", "tinyint", "uint")) or t in ("long", "short", "byte"):
         return "int"
     if t.startswith("decimal"):
@@ -84,6 +92,7 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    bounds = entrymod.bounded_checks() if hasattr(entrymod, "bounded_checks") else {}
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -99,6 +108,26 @@ def main():
             continue
         wall = time.monotonic() - t0
         if name not in oracles:
+            # no exact oracle: run the machine-checked BOUND if one is
+            # registered (subset + recall / brute-equality / error bound —
+            # VERDICT r2 item 3), else fall back to rows-only.
+            if name in bounds:
+                tb = time.monotonic()
+                try:
+                    res = bounds[name](spark, sf_dir, con)
+                except Exception as ex:
+                    print(f"FAIL {name}: bounded check error: {ex}")
+                    n_fail += 1
+                    continue
+                ok = res.pop("pass", False)
+                wall_b = time.monotonic() - tb
+                tag = "PASS" if ok else "FAIL"
+                print(f"{tag} {name}: bounded check ({wall:.1f}s+{wall_b:.1f}s) {res}")
+                if ok:
+                    n_pass += 1
+                else:
+                    n_fail += 1
+                continue
             print(f"rows {name}: {len(srows)} rows ({wall:.1f}s) [rows-only]")
             n_rows_only += 1
             if len(srows) == 0 and name not in ("dedup_minhash_pairs", "dedup_simhash_pairs"):
