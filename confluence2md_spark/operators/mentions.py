@@ -155,16 +155,15 @@ def resolve_mentions(
     titl = title_dict.select(
         "target_page", "tnorm", tokset(F.col("tnorm")).alias("ttoks")
     )
-    t_tokens = titl.select(
-        "target_page", "tnorm", "ttoks", F.explode("ttoks").alias("tok")
+    # the SAME df-capped inverted-index primitive title linking uses
+    # (linking.df_capped_token_index — one window shuffle, result already
+    # hash-partitioned by tok for the join below)
+    from .linking import df_capped_token_index
+
+    t_tokens = df_capped_token_index(
+        titl.select("target_page", "tnorm", "ttoks", F.explode("ttoks").alias("tok")),
+        max_token_df=max_token_df,
     )
-    hot = (
-        t_tokens.groupBy("tok")
-        .count()
-        .filter(F.col("count") > max_token_df)
-        .select("tok")
-    )
-    t_tokens = t_tokens.join(F.broadcast(hot), "tok", "left_anti")
     s_tokens = surf.select("snorm", "stoks", F.explode("stoks").alias("tok"))
     jac = F.size(F.array_intersect("stoks", "ttoks")) / F.size(
         F.array_union("stoks", "ttoks")
