@@ -50,6 +50,7 @@ from confluence2md_spark.operators.multimodal import (
 from confluence2md_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_sql_duck,
+    embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     embedding_near_dup_sql_duck,
     ivf_topk,
@@ -644,6 +645,11 @@ def _embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.95)
 
 
+def _embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the general (label-free) scale path: LSH buckets + exact cosine verify
+    return embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
 def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=20, k=5).orderBy(
         "q", "rank"
@@ -772,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "embedding_near_dup": _embed_near_dup,
+        "embedding_near_dup_lsh": _embed_near_dup_lsh,
         "ann_brute_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
@@ -1211,7 +1218,7 @@ def _check_minhash_bound(spark: SparkSession, sf_dir: str, con) -> dict:
     exact = {(a, b): j for a, b, j in con.execute(_exact_jaccard_sql(0.5)).fetchall()}
     subset_viol = [p for p in got if p not in exact]
     val_viol = [p for p in got if p in exact and abs(got[p] - exact[p]) > 1e-6]
-    recall = len(got.keys() & exact.keys()) / max(1, len(exact))
+    recall = 1.0 if not exact else len(got.keys() & exact.keys()) / len(exact)
     return {
         "pass": not subset_viol and not val_viol and recall >= 0.9,
         "n_spark": len(got),
@@ -1316,6 +1323,42 @@ def _check_ann_ivf_bound(spark: SparkSession, sf_dir: str, con) -> dict:
     return _check_ann_bound(spark, sf_dir, con, "ann_ivf_topk", floor=0.3)
 
 
+_EXACT_COSINE_PAIRS_SQL = """WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.id AS src, b.id AS dst,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM base a JOIN base b ON a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95"""
+
+
+def _check_embed_lsh_bound(spark: SparkSession, sf_dir: str, con) -> dict:
+    """embedding_near_dup_lsh ⊆ exact cosine>=0.95 pairs (candidates are
+    verified with exact cosine, so containment is by construction), cosines
+    equal to 6dp, recall >= 0.9 vs the DuckDB all-pairs exact set."""
+    got = {
+        (r["src"], r["dst"]): r["cosine"]
+        for r in queries()["embedding_near_dup_lsh"](spark, sf_dir).collect()
+    }
+    exact = {(a, b): c for a, b, c in con.execute(_EXACT_COSINE_PAIRS_SQL).fetchall()}
+    subset_viol = [p for p in got if p not in exact]
+    val_viol = [p for p in got if p in exact and abs(got[p] - exact[p]) > 1e-6]
+    # vacuous recall = 1.0: an empty exact set (the isotropic sf embeddings
+    # have no cosine>=0.95 pairs) means there was nothing to find
+    recall = 1.0 if not exact else len(got.keys() & exact.keys()) / len(exact)
+    return {
+        "pass": not subset_viol and not val_viol and recall >= 0.9,
+        "n_spark": len(got),
+        "n_exact": len(exact),
+        "recall": round(recall, 4),
+        "subset_violations": len(subset_viol),
+        "value_violations": len(val_viol),
+        "bound": "subset AND |cosine - exact| <= 1e-6 AND recall >= 0.9",
+    }
+
+
 def _check_approx_distinct_bound(spark: SparkSession, sf_dir: str, con) -> dict:
     """HLL++ estimate within 5 sigma of the exact distinct count
     (rsd=0.01 in the query)."""
@@ -1337,5 +1380,6 @@ def bounded_checks() -> dict[str, Callable]:
         "dedup_simhash_pairs": _check_simhash_bound,
         "ann_lsh_topk": _check_ann_lsh_bound,
         "ann_ivf_topk": _check_ann_ivf_bound,
+        "embedding_near_dup_lsh": _check_embed_lsh_bound,
         "approx_distinct_customers": _check_approx_distinct_bound,
     }

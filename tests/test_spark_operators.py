@@ -580,3 +580,44 @@ def test_lsh_multiprobe_sublinear_candidates_high_recall(spark):
     assert auto_lsh_bits(500) == 4
     assert auto_lsh_bits(10**6) == 14
     assert auto_lsh_bits(10**9) == 16
+
+
+def test_embedding_near_dup_lsh_matches_exact_on_planted_dups(spark):
+    """General (label-free) embedding near-dup: LSH-bucketed self-join +
+    exact cosine verify finds >= 90% of the true cosine>=0.95 pairs on
+    planted near-duplicate clusters, with zero false pairs (candidates are
+    exactly verified)."""
+    import random
+
+    import numpy as np
+
+    from confluence2md_spark.operators.similarity import embedding_near_dup_lsh
+
+    rnd = random.Random(5)
+    vecs = []
+    for i in range(240):
+        blob = i % 12
+        center = np.array([3.0 if d % 12 == blob else 0.1 for d in range(32)])
+        noise = np.array([rnd.gauss(0, 0.05) for _ in range(32)])
+        vecs.append(center + noise)
+    exact = set()
+    m = np.stack(vecs)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if round(float(cos[i, j]), 6) >= 0.95:
+                exact.add((i, j))
+    assert len(exact) > 100  # the planting worked
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in embedding_near_dup_lsh(emb, threshold=0.95, bits=8, tables=8).collect()
+    }
+    assert got <= exact  # exact-verify => no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"near-dup LSH recall {recall} < 0.9"
