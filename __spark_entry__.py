@@ -514,6 +514,65 @@ def _rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 completion: full CUBE grouping sets (rollup covers the prefix
+    lattice; cube adds the (NULL, l_linestatus) slices)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def _stats_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev per group WITHOUT engine-specific float merging:
+    the distributed part is exact BIGINT sums over integer cents (order-
+    independent), and the single float op (the variance formula) runs once
+    per group on those exact ints — so both engines compute the identical
+    double. Spark's built-in stddev/var use streaming float merge states
+    whose results are partition-order-dependent; this is the deterministic
+    pattern a 1000-executor job needs for reproducible metrics."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    base = li.select(F.col("l_returnflag").alias("returnflag"), cents.alias("c"))
+    # pass 1: exact n and sum -> integer pivot (the group's floored mean).
+    # pass 2: exact sums of pivot-CENTERED values; variance is shift-
+    # invariant, and centering keeps the squared terms ~(spread)^2 instead
+    # of (price)^2 — the difference between int64 overflowing at ~10^5 rows
+    # per group and being safe to ~10^6 TB of price data. The pivot table
+    # is one row per group: broadcast.
+    piv = base.groupBy("returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_cents")
+    ).withColumn("pv", F.expr("sum_cents div n"))
+    d = F.col("c") - F.col("pv")
+    g = (
+        base.join(F.broadcast(piv), "returnflag")
+        .groupBy("returnflag", "n", "sum_cents")
+        .agg(F.sum(d).alias("sum_d"), F.sum(d * d).alias("sumsq_d"))
+    )
+    var = (
+        F.col("sumsq_d").cast("double")
+        - F.col("sum_d").cast("double") * F.col("sum_d").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("n").cast("double") - 1.0)
+    return g.select(
+        "returnflag",
+        "n",
+        "sum_cents",
+        F.floor(var).cast("bigint").alias("var_cents2_floor"),
+    ).orderBy("returnflag")
+
+
 def _setops_fulfilled_vs_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     all_cust = orders.select("o_custkey").distinct()
@@ -764,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_order_per_customer": _window_top_order_per_customer,
         "window_running_customer_totals": _window_running_customer_totals,
         "rollup_returnflag_status": _rollup_returnflag_status,
+        "cube_returnflag_status": _cube_returnflag_status,
+        "stats_extendedprice": _stats_extendedprice,
         "setops_fulfilled_vs_open": _setops_fulfilled_vs_open,
         "distinct_priorities": _distinct_priorities,
         "approx_distinct_customers": _approx_distinct_customers,
@@ -1051,6 +1112,32 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus""",
+        "cube_returnflag_status": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus""",
+        "stats_extendedprice": """
+WITH base AS (
+  SELECT l_returnflag AS returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+), piv AS (
+  SELECT returnflag, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents,
+         CAST(sum(c) AS BIGINT) // count(*) AS pv
+  FROM base GROUP BY 1
+), g AS (
+  SELECT base.returnflag, n, sum_cents,
+         CAST(sum(c - pv) AS BIGINT) AS sum_d,
+         CAST(sum((c - pv) * (c - pv)) AS BIGINT) AS sumsq_d
+  FROM base JOIN piv ON base.returnflag = piv.returnflag
+  GROUP BY 1, 2, 3
+)
+SELECT returnflag, n, sum_cents,
+       CAST(floor((CAST(sumsq_d AS DOUBLE)
+                   - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS BIGINT) AS var_cents2_floor
+FROM g ORDER BY returnflag""",
         "setops_fulfilled_vs_open": """
 SELECT o_custkey AS custkey FROM (
   SELECT DISTINCT o_custkey FROM orders
