@@ -61,6 +61,8 @@ from confluence2md_spark.operators.triples import (
     extract_heading_triples,
 )
 from confluence2md_spark.functions.textstats import (
+    bpe_token_stats,
+    bpe_token_stats_sql_duck,
     fingerprint,
     fingerprint_sql_duck,
     predict_language,
@@ -740,6 +742,10 @@ def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
 
+def _text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_stats(_t(spark, sf_dir, "documents"))
 
@@ -844,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "text_token_stats": _text_tokens,
+        "text_bpe_tokens": _text_bpe_tokens,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
@@ -1203,6 +1210,7 @@ SELECT lang, count(*) AS n_docs FROM (
         "embedding_near_dup": embedding_near_dup_sql_duck(),
         "ann_brute_topk": brute_force_topk_sql_duck() + "\nORDER BY q, rank",
         "text_token_stats": token_stats_sql_duck(),
+        "text_bpe_tokens": bpe_token_stats_sql_duck(),
         "text_quality": quality_stats_sql_duck(),
         "text_fingerprint": fingerprint_sql_duck(),
         "text_langid": predict_language_sql_duck(),

@@ -60,6 +60,42 @@ def token_stats_sql_duck(docs: str = "documents") -> str:
 FROM {docs}"""
 
 
+# BPE-ish pretokenization (driver mandate: "whitespace + a BPE-ish regex").
+# The GPT-2 pretokenizer pattern, minus its trailing-space lookahead (RE2 —
+# DuckDB's engine — has no lookahead; dropping it only changes how runs of
+# whitespace split, not letter/number/punct token counts). Identical pattern
+# string runs on Java regex (Spark) and RE2 (DuckDB).
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_pieces, pieces_per_word_micros) — the
+    whitespace count next to the BPE-ish piece count (their ratio is the
+    fertility metric tokenizer work cares about). Pure JVM regex."""
+    toks = tokens_col(F.col(text_col))
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    n_ws = F.size(toks)
+    n_bpe = F.size(F.filter(pieces, lambda x: x.rlike(r"\S")))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_pieces"),
+        _micros(n_bpe / n_ws).alias("pieces_per_word_micros"),
+    )
+
+
+def bpe_token_stats_sql_duck(docs: str = "documents") -> str:
+    toks = TOKENS_SQL_DUCK.format(t="text")
+    pat = BPE_SPLIT_RE.replace("'", "''")  # SQL-escape the contraction quote
+    pieces = f"regexp_extract_all(text, '{pat}')"
+    n_bpe = f"len(list_filter({pieces}, x -> regexp_matches(x, '\\S')))"
+    return f"""SELECT doc_id,
+  len({toks}) AS n_ws_tokens,
+  {n_bpe} AS n_bpe_pieces,
+  CAST(floor({n_bpe} / CAST(len({toks}) AS DOUBLE) * 1000000) AS BIGINT) AS pieces_per_word_micros
+FROM {docs}"""
+
+
 # --------------------------------------------------------------- quality ---
 
 def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

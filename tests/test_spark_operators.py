@@ -621,3 +621,19 @@ def test_embedding_near_dup_lsh_matches_exact_on_planted_dups(spark):
     assert got <= exact  # exact-verify => no false positives
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"near-dup LSH recall {recall} < 0.9"
+
+
+def test_bpe_token_stats_matches_handcount(spark):
+    """BPE-ish pretokenizer counts (driver mandate: whitespace + BPE-ish
+    regex): contractions split, punctuation separates, numbers their own
+    pieces; ratio reported as floor-micros."""
+    from confluence2md_spark.functions.textstats import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(0, "it's a test-case with 42 tokens, naturally")], ["doc_id", "text"]
+    )
+    r = bpe_token_stats(docs).collect()[0]
+    # pieces: it | 's | a | test | - | case | with | 42 | tokens | , | naturally
+    assert r["n_ws_tokens"] == 7
+    assert r["n_bpe_pieces"] == 11
+    assert r["pieces_per_word_micros"] == 1571428
