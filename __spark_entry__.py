@@ -39,10 +39,14 @@ from confluence2md_spark.operators.dedup import (
     exact_dedup_stats,
     exact_dedup_survivors,
     minhash_near_dup_pairs,
+    ngram_cluster_census,
+    ngram_cluster_census_sql_duck,
     ngram_jaccard_pairs,
     ngram_jaccard_sql_duck,
     simhash_near_dup_pairs,
 )
+from confluence2md_spark.operators.graph import pagerank_micros, pagerank_sql_duck
+from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.multimodal import (
     attach_binary_payload,
     decode_image_meta,
@@ -61,6 +65,7 @@ from confluence2md_spark.operators.triples import (
     extract_heading_triples,
 )
 from confluence2md_spark.functions.textstats import (
+    STOPWORDS_EN,
     bpe_token_stats,
     bpe_token_stats_sql_duck,
     fingerprint,
@@ -269,6 +274,18 @@ def _kg_top_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_links"), F.asc("obj"))
         .limit(10)
     )
+
+
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (operators/graph.py) over the canonical
+    links_to edge set — graph analytics ON the constructed KG, hash-exact
+    vs an unrolled-CTE DuckDB oracle (no floats anywhere)."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return pagerank_micros(links, iters=5, topk=20)
 
 
 def _kg_unresolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +775,60 @@ def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_language(_t(spark, sf_dir, "documents"))
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_cluster_census(_t(spark, sf_dir, "documents"))
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition(1)+sortWithinPartitions (not orderBy) for the same reason
+    # as _dedup_ngram: the result is tiny (<= queries x topk rows) and a
+    # range-sort's sampling job would re-execute the scoring plan.
+    return (
+        bm25_topk(_t(spark, sf_dir, "documents"))
+        .repartition(1)
+        .sortWithinPartitions("q", "rank")
+    )
+
+
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision (composes verified pieces): exact-dedup
+    survivor pick + quality/token thresholds -> per-lang kept-doc and
+    token-budget totals. Single-pass plan: metrics are computed in the scan
+    projection, survivorship is ONE groupBy on the (xxhash64, length)
+    16-byte key carrying a small struct (the quality/token discipline of
+    exact_dedup_survivors — document text is never a shuffle key), then one
+    per-lang aggregation of the filtered survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_tok = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    space_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ) / F.length("text")
+    score = F.least(sw / n_tok * F.lit(4.0), F.lit(1.0)) * 0.5 + space_ratio * 0.5
+    score_micros = F.floor(score * 1_000_000).cast("bigint")
+    m = docs.select(
+        F.xxhash64("text").alias("h"),
+        F.length("text").alias("hl"),
+        F.struct(
+            F.col("doc_id"),
+            F.col("lang"),
+            score_micros.alias("score_micros"),
+            n_tok.alias("n_tokens"),
+        ).alias("s"),
+    )
+    surv = m.groupBy("h", "hl").agg(F.min("s").alias("s")).select("s.*")
+    return (
+        surv.filter((F.col("score_micros") >= 150_000) & (F.col("n_tokens") >= 20))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_binary_payload(_t(spark, sf_dir, "documents")).select(
         "doc_id", "media_type", "n_bytes", F.lower("payload_sha256").alias("payload_sha256")
@@ -812,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_pages": _kg_nodes_pages,
         "kg_edges_canonical": _kg_edges_canonical,
         "kg_top_linked": _kg_top_linked,
+        "kg_pagerank": _kg_pagerank,
         "kg_unresolved_links": _kg_unresolved_links,
         "kg_repo_skew_census": _kg_repo_skew_census,
         "kg_mentions": _kg_mentions,
@@ -842,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_survivors": _dedup_survivors,
         "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_clusters": _dedup_clusters,
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "embedding_near_dup": _embed_near_dup,
@@ -854,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
+        "bm25_topk": _bm25_topk,
+        "corpus_curation": _corpus_curation,
         "mm_binary_meta": _mm_binary_meta,
         "mm_decode_stub": _mm_decode_stub,
         "mm_frame_sample": _mm_frame_sample,
@@ -967,6 +1042,11 @@ ORDER BY subj, obj""",
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE}
 SELECT obj, count(*) AS n_links FROM canon_links GROUP BY obj
 ORDER BY n_links DESC, obj ASC LIMIT 10""",
+        "kg_pagerank": pagerank_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            iters=5,
+            topk=20,
+        ),
         "kg_unresolved_links": f"""
 WITH {_LINKS_CTE}
 SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_page_sql('o')}
@@ -1207,6 +1287,28 @@ SELECT lang, count(*) AS n_docs FROM (
   FROM documents
 ) WHERE rn = 1 GROUP BY lang ORDER BY lang""",
         "dedup_ngram_jaccard": ngram_jaccard_sql_duck() + "\nORDER BY src, dst",
+        "dedup_clusters": ngram_cluster_census_sql_duck(),
+        "bm25_topk": bm25_sql_duck() + "\nORDER BY q, rank",
+        # mirrors _corpus_curation: survivor pick on (hash(text), length)
+        # (never the text), metrics from the same fixed-order expressions as
+        # the text_quality / text_token_stats oracles
+        "corpus_curation": f"""
+WITH m AS (
+  SELECT doc_id, lang, hash(text) AS h, length(text) AS hl,
+    CAST(floor((least(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ({",".join(f"'{w}'" for w in STOPWORDS_EN)}))) / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) * 4.0, 1.0) * 0.5
+      + ((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE)) * 0.5) * 1000000) AS BIGINT) AS score_micros,
+    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h, hl ORDER BY doc_id) AS rn FROM m
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs_kept, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+FROM surv
+WHERE score_micros >= 150000 AND n_tokens >= 20
+GROUP BY lang ORDER BY lang""",
         "embedding_near_dup": embedding_near_dup_sql_duck(),
         "ann_brute_topk": brute_force_topk_sql_duck() + "\nORDER BY q, rank",
         "text_token_stats": token_stats_sql_duck(),

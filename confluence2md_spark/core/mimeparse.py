@@ -26,6 +26,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import quopri
+import re as _re
 from dataclasses import dataclass, field
 from email import message_from_string
 from email.message import Message
@@ -88,6 +89,161 @@ def _looks_like_message(content: str) -> bool:
     return False
 
 
+# --------------------------------------------------------------- fast path --
+#
+# The ``email`` package costs ~40% of convert_document (cProfile, BASELINE
+# notes): FeedParser state machine + Message.get_param re-tokenizes headers
+# per access.  The overwhelmingly common shape — LF line endings, unfolded
+# ``Key: value`` headers, one flat multipart with a quoted/plain boundary
+# token, parts with plain parameter syntax — needs none of that machinery.
+# ``_split_mime_fast`` handles exactly that shape with str.split/regex and
+# returns None for ANYTHING it is not byte-for-byte sure about (folded
+# headers, CR, nested multipart, RFC-2231 params, boundary-prefixed body
+# lines, missing part blank line), in which case the email-module path runs
+# unchanged.  Equivalence is pinned by a differential test over the corpus,
+# the edge-case fixtures, and fuzz inputs (test_mime_edge_cases.py).
+
+_HDR_RE = _re.compile(r"^([\x21-\x39\x3b-\x7e]+):\s*(.*)$")  # name w/o ':'
+_PARAM_RE = _re.compile(r';\s*([A-Za-z0-9_-]+)\s*=\s*(?:"([^"\\]*)"|([^\s;"]+))')
+_CT_RE = _re.compile(r"^\s*([A-Za-z0-9_-]+/[A-Za-z0-9._+-]+)\s*(;.*)?$", _re.S)
+
+
+def _parse_header_block(lines: list[str], i: int) -> tuple[dict, list[tuple[str, str]], int] | None:
+    """Parse ``Key: value`` lines from index i until a blank line; returns
+    (lower-key dict, ordered (key, value) items, index past the blank line)
+    or None when any line needs the slow path (folding, malformed)."""
+    low: dict[str, str] = {}
+    items: list[tuple[str, str]] = []
+    while i < len(lines):
+        line = lines[i]
+        if line == "":
+            return low, items, i + 1
+        m = _HDR_RE.match(line)
+        if not m or line[0] in " \t":
+            return None
+        k, v = m.group(1), m.group(2)
+        if k.lower() in low:
+            return None  # duplicate header: email keeps both; slow path
+        low[k.lower()] = v
+        items.append((k, v))
+        i += 1
+    return None  # no blank line terminating the block
+
+
+def _ct_params(raw_ct: str) -> tuple[str, dict[str, str]] | None:
+    """(media_type_lower, params) from a Content-Type value, or None for
+    syntax the fast path must not guess at (RFC 2231 ``name*=``, comments,
+    backslash escapes)."""
+    if "(" in raw_ct or "*" in raw_ct or "\\" in raw_ct:
+        return None
+    m = _CT_RE.match(raw_ct)
+    if not m:
+        return None
+    params: dict[str, str] = {}
+    rest = m.group(2) or ""
+    consumed = 0
+    for pm in _PARAM_RE.finditer(rest):
+        params[pm.group(1).lower()] = pm.group(2) if pm.group(2) is not None else pm.group(3)
+        consumed = pm.end()
+    if rest[consumed:].strip(" \t\n;"):
+        return None  # unparsed residue → slow path
+    return m.group(1).lower(), params
+
+
+def _split_mime_fast(content: str) -> tuple[str, list[MimePart]] | None:
+    if "\r" in content:
+        return None
+    lines = content.split("\n")
+    parsed = _parse_header_block(lines, 0)
+    if parsed is None:
+        return None
+    low, _, body_start = parsed
+    raw_ct = low.get("content-type")
+    if raw_ct is None:
+        return "not_multipart", []
+    ct = _ct_params(raw_ct)
+    if ct is None:
+        return None
+    media_type, params = ct
+    if not media_type.startswith("multipart/"):
+        return "not_multipart", []
+    boundary = params.get("boundary")
+    if boundary in (None, ""):
+        return "no_boundary", []
+    delim, close = "--" + boundary, "--" + boundary + "--"
+
+    # Split the body into parts on exact delimiter lines.  Any line merely
+    # PREFIXED with the delimiter (transport padding aside) goes slow-path —
+    # the email package has its own tolerance rules there.
+    part_line_ranges: list[tuple[int, int]] = []
+    cur_start: int | None = None
+    closed = False
+    for i in range(body_start, len(lines)):
+        line = lines[i]
+        stripped = line.rstrip(" \t")
+        if stripped == delim:
+            if cur_start is not None:
+                part_line_ranges.append((cur_start, i))
+            cur_start = i + 1
+        elif stripped == close:
+            if cur_start is not None:
+                part_line_ranges.append((cur_start, i))
+            cur_start = None
+            closed = True
+            break
+        elif line.startswith(delim):
+            return None
+    if not closed:
+        return None  # email tolerates a missing terminator; don't guess
+    if not part_line_ranges:
+        return None
+
+    parts: list[MimePart] = []
+    for idx, (s, e) in enumerate(part_line_ranges):
+        sub = _parse_header_block(lines, s)
+        if sub is None:
+            return None
+        slow, sitems, sbody = sub
+        if sbody > e:
+            return None
+        raw_pct = slow.get("content-type")
+        if raw_pct is None:
+            p_media, p_params = "text/plain", {}
+        else:
+            pct = _ct_params(raw_pct)
+            if pct is None:
+                return None
+            p_media, p_params = pct
+        if p_media.startswith("multipart/") or p_media.startswith("message/"):
+            return None  # nested structure: email walks recursively
+        cd = slow.get("content-disposition")
+        filename = ""
+        if cd is not None:
+            cdp = _ct_params("x/x" + ("; " + cd.split(";", 1)[1] if ";" in cd else ""))
+            if cdp is None:
+                return None
+            filename = cdp[1].get("filename", "")
+        if not filename:
+            filename = p_params.get("name", "")
+        enc = slow.get("content-transfer-encoding", "").strip()
+        payload = "\n".join(lines[sbody:e])
+        body = _decode_part_body(
+            payload.encode("utf-8", "surrogateescape"), enc
+        )
+        parts.append(
+            MimePart(
+                part_index=idx,
+                media_type=p_media,
+                transfer_encoding=enc.lower(),
+                charset=p_params.get("charset", "").lower(),
+                filename=filename,
+                headers={k: v for k, v in sitems},
+                body=body,
+            )
+        )
+    return "ok", parts
+
+
 def split_mime(content: str) -> tuple[str, list[MimePart]]:
     """Parse one MIME document into (status, parts).
 
@@ -96,6 +252,9 @@ def split_mime(content: str) -> tuple[str, list[MimePart]]:
     """
     if not content or not _looks_like_message(content):
         return "parse_error", []
+    fast = _split_mime_fast(content)
+    if fast is not None:
+        return fast
     try:
         msg: Message = message_from_string(content)
     except Exception:

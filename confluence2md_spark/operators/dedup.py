@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .components import connected_components
 from .linking import lsh_candidate_pairs
 
 # ------------------------------------------------------------------ exact --
@@ -196,6 +197,58 @@ SELECT a.id AS src, b.id AS dst,
 FROM base a JOIN base b
   ON a.lang = b.lang AND a.lb = b.lb AND a.id < b.id
 WHERE round(len(list_intersect(a.grams, b.grams)) / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= {threshold}"""
+
+
+# ---------------------------------------------------- near-dup clusters ---
+
+def ngram_cluster_census(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(size, n_clusters): connected-component census over the exact
+    word-n-gram Jaccard >= threshold pair graph — "how much of the corpus is
+    one near-dup family" is the number curation actually decides on (keep
+    one per cluster vs drop whole clusters), and pairs alone can't answer it
+    (a 1000-doc template family is 499,500 pairs but ONE cluster).
+
+    Composition of two already-verified operators: ngram_jaccard_pairs
+    (oracle-exact pair set) -> connected_components (hybrid driver/hash-min/
+    star-contraction; components.py). Only docs appearing in >= 1 pair are
+    clustered, so every census row has size >= 2; the DuckDB oracle states
+    the same census independently via a recursive transitive closure."""
+    pairs = ngram_jaccard_pairs(docs, text_col=text_col, n=n, threshold=threshold)
+    labels = connected_components(pairs, src="src", dst="dst")
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
+
+
+def ngram_cluster_census_sql_duck(
+    docs: str = "documents", n: int = 3, threshold: float = 0.2
+) -> str:
+    """Oracle: exact pair set (same generator the dedup_ngram_jaccard oracle
+    uses) -> transitive closure via recursive CTE -> min-label census."""
+    pairs_sql = ngram_jaccard_sql_duck(docs=docs, n=n, threshold=threshold)
+    return f"""WITH RECURSIVE pairs AS ({pairs_sql}),
+e AS (SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+),
+labels AS (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+clusters AS (
+  SELECT component, count(*) AS size FROM labels GROUP BY component
+)
+SELECT size, count(*) AS n_clusters FROM clusters GROUP BY size ORDER BY size"""
 
 
 # ------------------------------------------------------------ MinHash/LSH --

@@ -1,0 +1,112 @@
+"""Graph analytics over the constructed KG (beyond triple extraction:
+once the edge table exists, ranking its nodes is the first query a KG
+consumer runs — e.g. pick canonical-page importance for curation weights).
+
+PageRank here is EXACT-INTEGER power iteration: ranks live as BIGINT
+"micros" (1.0 == 1_000_000) and every step uses integer division only —
+    contrib(u)   = rank(u) DIV outdeg(u)
+    rank'(v)     = 150_000 + (Σ contrib) * 850_000 DIV 1_000_000
+so there is NO floating point anywhere: the result is bit-identical under
+any partitioning / aggregation order and a DuckDB oracle can state it
+exactly (unrolled one CTE per iteration — SQL recursion can't aggregate in
+the recursive term, and a fixed small iteration count is the point: this is
+the deterministic-contract variant of the algorithm, not a convergence
+study). Classic simplifications, mirrored in both engines: simple graph
+(distinct edges), dangling-node mass leaks (no redistribution).
+
+Scale shape: each iteration is (edges ⋈ ranks on src) -> groupBy(dst) —
+one shuffle per iteration keyed on node ids (never strings longer than the
+id), with edges/outdeg persisted once and reused across iterations. At
+10^12-edge scale you'd checkpoint ranks every few iterations to truncate
+lineage; with a fixed 5-iteration contract the plan depth is bounded and
+checkpointing is unnecessary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING_MICROS = 850_000
+BASE_MICROS = 1_000_000 - DAMPING_MICROS  # (1 - d) in micros
+
+
+def pagerank_micros(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    topk: int | None = None,
+) -> DataFrame:
+    """(page, rank_micros) after `iters` exact-integer power iterations.
+
+    `edges` is any (src, dst) relation; duplicates are dropped. If `topk`
+    is set, returns the top-k by (rank desc, page asc).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("page"))
+        .unionByName(e.select(F.col("dst").alias("page")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.select("page", F.lit(1_000_000).cast("bigint").alias("rank_micros"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("page", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("page"),
+                F.expr("rank_micros DIV d").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("page").agg(F.sum("c").alias("c"))
+        ranks = nodes.join(sums, "page", "left").select(
+            "page",
+            (
+                F.lit(BASE_MICROS)
+                + F.expr(f"coalesce(c, 0) * {DAMPING_MICROS} DIV 1000000")
+            )
+            .cast("bigint")
+            .alias("rank_micros"),
+        )
+    if topk is not None:
+        ranks = ranks.orderBy(F.desc("rank_micros"), F.asc("page")).limit(topk)
+    return ranks
+
+
+def pagerank_sql_duck(
+    edges_cte_body: str, iters: int = 5, topk: int = 20
+) -> str:
+    """DuckDB twin: `edges_cte_body` is a SELECT yielding (subj, obj);
+    iterations are unrolled one CTE each with the identical integer
+    arithmetic (// is flooring division; all values non-negative, matching
+    Spark's DIV)."""
+    parts = [
+        f"e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({edges_cte_body}))",
+        "nodes AS (SELECT src AS page FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "r0 AS (SELECT page, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT n.page,
+         CAST({BASE_MICROS} + COALESCE(s.c, 0) * {DAMPING_MICROS} // 1000000 AS BIGINT) AS rank_micros
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS page, CAST(sum(r.rank_micros // o.d) AS BIGINT) AS c
+    FROM e JOIN r{i} r ON e.src = r.page JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.page = s.page
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT page, rank_micros FROM r{iters}
+ORDER BY rank_micros DESC, page ASC LIMIT {topk}"""
+    )

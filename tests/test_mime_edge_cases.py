@@ -99,3 +99,87 @@ def test_first_html_part_wins():
     status, html = extract_html_from_mime(msg)
     assert status == "ok"
     assert "first" in html and "second" not in html
+
+
+def _slow_split(content):
+    """The email-module path with the fast path disabled."""
+    import confluence2md_spark.core.mimeparse as mp
+
+    saved = mp._split_mime_fast
+    mp._split_mime_fast = lambda c: None
+    try:
+        return mp.split_mime(content)
+    finally:
+        mp._split_mime_fast = saved
+
+
+def _assert_paths_agree(content):
+    import confluence2md_spark.core.mimeparse as mp
+
+    fast = mp._split_mime_fast(content) if content and mp._looks_like_message(content) else None
+    slow = _slow_split(content)
+    if fast is None:  # fast path declined — slow path is authoritative
+        return False
+    assert fast[0] == slow[0], (fast[0], slow[0])
+    assert len(fast[1]) == len(slow[1])
+    for a, b in zip(fast[1], slow[1]):
+        for attr in (
+            "part_index", "media_type", "transfer_encoding", "charset",
+            "filename", "headers", "body",
+        ):
+            assert getattr(a, attr) == getattr(b, attr), (attr, getattr(a, attr), getattr(b, attr))
+    return True
+
+
+def test_fast_path_differential_on_corpus():
+    """The str.split fast parser must agree with the email-module parser
+    field-for-field, byte-for-byte on every corpus document (it claims the
+    whole multipart class the corpus generates)."""
+    import duckdb
+
+    from confluence2md_spark.sources.corpus import duckdb_raw_files_cte
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(
+        f"WITH raw_files AS ({duckdb_raw_files_cte()}) "
+        "SELECT content FROM raw_files WHERE lang = 'confluence'"
+    ).fetchall()
+    assert rows
+    claimed = sum(_assert_paths_agree(c) for (c,) in rows)
+    assert claimed == len(rows)  # fast path must take ALL corpus docs
+
+
+def test_fast_path_differential_on_adversarial_shapes():
+    """Tricky shapes: either the fast path declines (slow path authoritative)
+    or it matches exactly — asserted for both outcomes."""
+    hdr = "MIME-Version: 1.0\n"
+    shapes = [
+        # folded header -> must decline
+        hdr + 'Content-Type: multipart/related;\n boundary="B"\n\n--B\nContent-Type: text/html\n\n<p>x</p>\n--B--\n',
+        # CR line endings -> must decline
+        hdr.replace("\n", "\r\n") + 'Content-Type: multipart/related; boundary="B"\r\n\r\n--B\r\n\r\nx\r\n--B--\r\n',
+        # boundary-prefixed body line -> must decline
+        hdr + 'Content-Type: multipart/related; boundary="B"\n\n--B\nContent-Type: text/plain\n\n--Bx in body\n--B--\n',
+        # missing terminator -> must decline
+        hdr + 'Content-Type: multipart/related; boundary="B"\n\n--B\nContent-Type: text/plain\n\nbody\n',
+        # unquoted boundary + trailing whitespace after delimiter -> may claim
+        hdr + "Content-Type: multipart/related; boundary=B\n\n--B \nContent-Type: text/plain\n\nbody\n--B--\n",
+        # empty part body
+        hdr + 'Content-Type: multipart/related; boundary="B"\n\n--B\nContent-Type: text/plain\n\n\n--B--\n',
+        # part with no headers
+        hdr + 'Content-Type: multipart/related; boundary="B"\n\n--B\n\njust a body\n--B--\n',
+        # base64 + filename in both places
+        hdr + 'Content-Type: multipart/related; boundary="B"\n\n--B\nContent-Type: image/png; name="n.png"\nContent-Disposition: attachment; filename="f.png"\nContent-Transfer-Encoding: base64\n\naGVsbG8=\n--B--\n',
+        # preamble and epilogue text
+        hdr + 'Content-Type: multipart/related; boundary="B"\n\npreamble\n--B\nContent-Type: text/plain\n\nbody\n--B--\nepilogue\n',
+        # charset/media-type case-insensitivity
+        hdr + 'Content-Type: MULTIPART/Related; boundary="B"\n\n--B\nContent-Type: TEXT/Html; Charset="UTF-8"\n\n<p>x</p>\n--B--\n',
+        # not multipart at all
+        hdr + "Content-Type: text/plain\n\nhello\n",
+    ]
+    for s in shapes:
+        _assert_paths_agree(s)

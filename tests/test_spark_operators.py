@@ -637,3 +637,116 @@ def test_bpe_token_stats_matches_handcount(spark):
     assert r["n_ws_tokens"] == 7
     assert r["n_bpe_pieces"] == 11
     assert r["pieces_per_word_micros"] == 1571428
+
+
+# ----------------------------------------------------------- retrieval ----
+
+def test_bm25_hand_computed_score_and_ranking(spark):
+    """BM25 formula check against a hand-stated corpus: same idf/tf-part
+    expression evaluated in Python must give the identical floor-micros
+    score, and ranking must follow tf (repetition) and df (rarity)."""
+    import math
+
+    from confluence2md_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana"),
+            (1, "apple apple apple cherry"),
+            (2, "cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(docs, queries=[(1, "apple"), (2, "durian")]).collect()
+    got = {(r["q"], r["rank"]): (r["doc_id"], r["score_micros"]) for r in rows}
+
+    # q1 "apple": doc 1 (tf=3) outranks doc 0 (tf=1); doc 2 absent.
+    assert got[(1, 1)][0] == 1 and got[(1, 2)][0] == 0
+    assert (1, 3) not in got
+    # q2 "durian": only doc 2, and df=1 < df=2 makes it score above q1's top.
+    assert got[(2, 1)][0] == 2
+    assert got[(2, 1)][1] > got[(1, 1)][1]
+
+    n, avgdl, k1, b = 3, (2 + 4 + 2) / 3, 1.2, 0.75
+    def score(tf, dl, df):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        tfp = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return math.floor(idf * tfp * 1_000_000)
+
+    assert got[(1, 1)][1] == score(3, 4, 2)
+    assert got[(1, 2)][1] == score(1, 2, 2)
+    assert got[(2, 1)][1] == score(1, 2, 1)
+
+
+def test_bm25_plan_broadcasts_and_never_shuffles_text(spark):
+    """Scale shape: the only exchanges in the BM25 plan carry (doc_id, dl,
+    term) postings or (q, doc_id, score) candidates — the text column must
+    not appear in any Exchange, and the term/dfreq/stats joins must be
+    broadcasts."""
+    from confluence2md_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"hash join scan value {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = bm25_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "text" not in line, f"text column crosses a shuffle: {line}"
+
+
+def test_ngram_cluster_census_planted_families(spark):
+    """Census over planted near-dup families: one 3-doc chain family and one
+    2-doc pair, plus unrelated singletons that must NOT appear."""
+    from confluence2md_spark.operators.dedup import ngram_cluster_census
+
+    # all texts stay inside ONE (lang, length//64) block — lengths < 64 —
+    # so the blocked pair join sees every candidate pair
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    fam_a = [
+        (0, base, "en"),
+        (1, base + " aa", "en"),
+        (2, base + " aa bb", "en"),
+    ]
+    fam_b = [
+        (10, "one two three four five six seven eight nine ten", "en"),
+        (11, "one two three four five six seven eight nine ten", "en"),
+    ]
+    singles = [
+        (20, "totally unrelated words about streaming watermarks", "en"),
+        (21, "other disjoint content concerning broadcast joins here", "en"),
+    ]
+    docs = spark.createDataFrame(fam_a + fam_b + singles, ["doc_id", "text", "lang"])
+    got = {
+        r["size"]: r["n_clusters"]
+        for r in ngram_cluster_census(docs, threshold=0.2).collect()
+    }
+    assert got == {2: 1, 3: 1}
+
+
+def test_pagerank_exact_integer_matches_python_mirror(spark):
+    """pagerank_micros on a hand-stated graph equals a pure-Python mirror of
+    the same integer recurrence — bit-exact, any partitioning."""
+    from confluence2md_spark.operators.graph import pagerank_micros
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 1)]  # dup edge dropped
+    edges = spark.createDataFrame(edge_list, ["subj", "obj"])
+    got = {
+        r["page"]: r["rank_micros"]
+        for r in pagerank_micros(edges, iters=5).collect()
+    }
+
+    e = sorted(set(edge_list))
+    nodes = sorted({v for p in e for v in p})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(5):
+        sums = {v: 0 for v in nodes}
+        for s, d in e:
+            sums[d] += r[s] // outdeg[s]
+        r = {v: 150_000 + sums[v] * 850_000 // 1_000_000 for v in nodes}
+    assert got == r
+    # rank mass flowed toward the sink-heavy node 3 -> 1 cycle
+    assert got[1] > got[2]
