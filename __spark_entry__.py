@@ -45,6 +45,7 @@ from confluence2md_spark.operators.dedup import (
     ngram_jaccard_sql_duck,
     simhash_near_dup_pairs,
 )
+from confluence2md_spark.operators.asof import asof_join
 from confluence2md_spark.operators.graph import pagerank_micros, pagerank_sql_duck
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.multimodal import (
@@ -689,6 +690,35 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each purchase to the most
+    recent prior-or-simultaneous view by the same user; DuckDB's native
+    ASOF JOIN is the (algorithmically independent) oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    j = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["event_id", "ts"],
+    )
+    return (
+        j.select(
+            "user_id",
+            "event_id",
+            F.col("event_id_asof").alias("prev_view_event_id"),
+            # timestampdiff works on TIMESTAMP_NTZ and is tz-independent
+            # (unix_micros demands TIMESTAMP and would bind the session tz)
+            F.expr("timestampdiff(MICROSECOND, ts_asof, ts)").alias("gap_us"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+
+
 # --------------------------------------------------- training-data ops ----
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _events_sliding,
         "events_sessionize": _events_sessionize,
         "events_json": _events_json,
+        "events_asof_purchase_view": _events_asof,
         # training-data operators (driver mandate)
         "dedup_exact": _dedup_exact,
         "dedup_survivors": _dedup_survivors,
@@ -1249,6 +1280,16 @@ SELECT start AS window_start, count(*) AS n FROM (
 SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
 FROM events GROUP BY event_type
 ORDER BY event_type""",
+        # DuckDB's native ASOF JOIN (binary-search based) independently
+        # states the same inclusive <= semantics the Spark union+window
+        # implementation produces; gap in exact integer microseconds
+        "events_asof_purchase_view": """
+WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, v.event_id AS prev_view_event_id,
+       date_diff('microseconds', v.ts, p.ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id""",
         # gap uses floor(epoch) on both engines: Spark's unix_timestamp()
         # truncates to whole seconds, DuckDB's epoch() keeps microseconds —
         # a gap landing in (1800, 1801) would otherwise classify differently.

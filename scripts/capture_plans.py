@@ -61,6 +61,16 @@ def main() -> int:
         ("ann_lsh_topk",
          "auto-depth multi-probe LSH: corpus hashed once, probe fan-out "
          "multiplies only the broadcast query side"),
+        ("bm25_topk",
+         "query terms broadcast-joined BEFORE the tf aggregation (postings "
+         "shuffle is O(sum df), never the token stream); dfreq and corpus "
+         "stats re-enter as broadcasts; text never in an Exchange"),
+        ("kg_pagerank",
+         "exact-integer power iteration: one node-id-keyed exchange per "
+         "iteration over the persisted distinct edge set"),
+        ("events_asof_purchase_view",
+         "as-of join as union + carry-forward window: ONE exchange on the "
+         "key, no range-join explosion"),
     ]
     out = [
         "# Physical plan evidence (captured from .explain(\"formatted\") "

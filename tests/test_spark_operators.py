@@ -750,3 +750,31 @@ def test_pagerank_exact_integer_matches_python_mirror(spark):
     assert got == r
     # rank mass flowed toward the sink-heavy node 3 -> 1 cycle
     assert got[1] > got[2]
+
+
+def test_asof_join_inclusive_carry_and_nulls(spark):
+    """Hand-stated as-of semantics: equal timestamps join inclusively, the
+    LATEST prior right row wins, keys with no prior right row yield nulls,
+    and carry never crosses keys."""
+    from confluence2md_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l-a"), (1, 20, "l-b"), (1, 5, "l-c"), (2, 10, "l-d")],
+        ["k", "ts", "lval"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r-10"), (1, 15, "r-15"), (3, 1, "r-other")],
+        ["k", "ts", "rval"],
+    )
+    got = {
+        r["lval"]: r["rval_asof"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts", value_cols=["rval"]
+        ).collect()
+    }
+    assert got == {
+        "l-a": "r-10",   # equal ts -> inclusive
+        "l-b": "r-15",   # latest prior, not first
+        "l-c": None,     # before any right row
+        "l-d": None,     # key 2 has no right rows; key 3's row must not leak
+    }
