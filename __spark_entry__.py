@@ -690,6 +690,39 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed discrete quantiles: one window pass ranks values
+    per group, the quantile is the DATA VALUE at rank ceil(p*n) — no
+    interpolation, so both engines emit bit-identical doubles (ties broken
+    by event_id for a total order). At 100 TB you'd reach for
+    approx_percentile (t-digest) instead; this is the exact-contract form,
+    and the single rank window is still one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+        )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            pick(0.25).alias("p25"),
+            pick(0.50).alias("p50"),
+            pick(0.75).alias("p75"),
+            F.max("n").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): attribute each purchase to the most
     recent prior-or-simultaneous view by the same user; DuckDB's native
@@ -941,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "events_json": _events_json,
         "events_asof_purchase_view": _events_asof,
+        "events_value_quantiles": _events_quantiles,
         # training-data operators (driver mandate)
         "dedup_exact": _dedup_exact,
         "dedup_survivors": _dedup_survivors,
@@ -1290,6 +1324,21 @@ SELECT p.user_id, p.event_id, v.event_id AS prev_view_event_id,
        date_diff('microseconds', v.ts, p.ts) AS gap_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.event_id""",
+        # discrete quantiles = value at rank ceil(p*n): picked data values,
+        # no interpolation arithmetic to diverge
+        "events_value_quantiles": """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS p75,
+       max(n) AS n
+FROM ranked GROUP BY event_type ORDER BY event_type""",
         # gap uses floor(epoch) on both engines: Spark's unix_timestamp()
         # truncates to whole seconds, DuckDB's epoch() keeps microseconds —
         # a gap landing in (1800, 1801) would otherwise classify differently.
