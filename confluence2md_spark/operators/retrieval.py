@@ -66,6 +66,12 @@ def bm25_topk(
     for qid, qtext in queries:
         for term in qtext.strip().lower().split():
             qterms.append((qid, term))
+    if not qterms:
+        # schema inference fails on an empty list (ADVICE r2 ivf_topk class
+        # of bug) — return an empty, correctly-typed result instead
+        return spark.createDataFrame(
+            [], "q long, doc_id long, score_micros long, rank int"
+        )
     qterms_df = spark.createDataFrame(qterms, ["q", "term"])
     terms_df = qterms_df.select("term").distinct()
 

@@ -778,3 +778,12 @@ def test_asof_join_inclusive_carry_and_nulls(spark):
         "l-c": None,     # before any right row
         "l-d": None,     # key 2 has no right rows; key 3's row must not leak
     }
+
+
+def test_bm25_empty_query_list_returns_typed_empty(spark):
+    from confluence2md_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame([(0, "some text")], ["doc_id", "text"])
+    out = bm25_topk(docs, queries=[])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q", "doc_id", "score_micros", "rank"]
