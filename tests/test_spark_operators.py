@@ -787,3 +787,18 @@ def test_bm25_empty_query_list_returns_typed_empty(spark):
     out = bm25_topk(docs, queries=[])
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["q", "doc_id", "score_micros", "rank"]
+
+
+def test_corpus_curation_plan_never_shuffles_text(spark, sf_dir):
+    """The curation rollup's only exchanges carry the (xxhash64, length)
+    survivor key + small metric struct and the per-lang aggregation — the
+    document text must not appear in any Exchange."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["corpus_curation"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchanges  # the plan does shuffle (survivor pick + lang agg)
+    for line in exchanges:
+        assert "text#" not in line, f"text crosses a shuffle: {line}"
+    assert out.count() > 0
