@@ -108,7 +108,95 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].children.append(_Node("", raw=data))
 
 
+# --------------------------------------------------------------- fast path --
+#
+# html.parser's state machine (goahead/parse_starttag/updatepos) is ~1/3 of
+# convert_document's profile.  After entity decoding and pre-processing the
+# Confluence HTML is plain: LF-only, no '&', no comments/doctype/CDATA, every
+# '<' opens a well-formed tag with simply-quoted attributes.  That class
+# tokenizes with ONE regex into the IDENTICAL _Node tree (same tag/attr
+# lowercasing, same raw start-tag text, same void/self-closing/stray-closer
+# handling, one text node per inter-tag gap — which is also what
+# convert_charrefs=True html.parser emits when no charrefs split the run).
+# Anything outside the class returns None and the html.parser path runs
+# unchanged; a differential test pins tree equality on the corpus and on
+# adversarial shapes (test_html2md.py).
+
+_FAST_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"'=`]+))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'=`]+)))?"
+)
+# html.parser switches to CDATA/RCDATA modes for these — decline, don't
+# mimic (title is special-cased below: plain content + exact "</title>"
+# closer produces the identical token stream)
+_FAST_DECLINE_TAGS = {"script", "style", "textarea"}
+
+
+def _fast_parse(html: str) -> _Node | None:
+    if "&" in html or "\r" in html:
+        return None  # charref conversion / CR quirks: html.parser's business
+    root = _Node("#root")
+    stack = [root]
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt == -1:
+            stack[-1].children.append(_Node("", raw=html[i:]))
+            break
+        if lt > i:
+            stack[-1].children.append(_Node("", raw=html[i:lt]))
+        m = _FAST_TAG_RE.match(html, lt)
+        if m is None:
+            return None  # comment, doctype, or malformed tag
+        closing, tag, attrs_s, selfclose = m.groups()
+        tag = tag.lower()
+        if tag in _FAST_DECLINE_TAGS:
+            return None
+        if closing:
+            if selfclose or attrs_s.strip():
+                return None  # '</x/>' / attrs on a closer: let html.parser rule
+            for k in range(len(stack) - 1, 0, -1):  # pop to match; stray ignored
+                if stack[k].tag == tag:
+                    del stack[k:]
+                    break
+        else:
+            attrs = [
+                (
+                    am.group(1).lower(),
+                    am.group(2)
+                    if am.group(2) is not None
+                    else (am.group(3) if am.group(3) is not None else am.group(4)),
+                )
+                for am in _FAST_ATTR_RE.finditer(attrs_s)
+            ]
+            node = _Node(tag, attrs, raw=m.group(0))
+            stack[-1].children.append(node)
+            if tag == "title" and not selfclose:
+                # RCDATA: content runs verbatim to the closer. Plain content
+                # + exact "</title>" is token-identical to normal parsing.
+                end = html.find("</title>", m.end())
+                if end == -1 or "<" in html[m.end():end]:
+                    return None
+                if end > m.end():
+                    node.children.append(_Node("", raw=html[m.end():end]))
+                i = end + len("</title>")
+                continue
+            # '<x/>' is handle_startendtag (never pushed); bare void tags are
+            # handle_starttag but unpushed — identical to _TreeBuilder
+            if not selfclose and tag not in _VOID_TAGS:
+                stack.append(node)
+        i = m.end()
+    return root
+
+
 def _parse(html: str) -> _Node:
+    root = _fast_parse(html)
+    if root is not None:
+        return root
     p = _TreeBuilder()
     p.feed(html)
     p.close()

@@ -155,73 +155,105 @@ def balance_details_tags(md: str) -> str:
 
 
 def post_process_markdown(md: str) -> str:
+    # Literal guards (`'lit' in md`): each guard literal is a NECESSARY
+    # substring of any match of the guarded pattern, so a miss skips the
+    # rule without changing semantics — converted markdown rarely carries
+    # the Confluence div/span/escape artifacts these rules target.
+
     # G1 (markdown.go:322-354)
-    md = _IMG_ALT.sub(_img_emoji, md)
+    if "<img" in md:
+        md = _IMG_ALT.sub(_img_emoji, md)
 
     # G2 (markdown.go:356-360)
-    md = _SECTION1.sub("", md)
-    md = _TOC_MACRO.sub("", md)
+    if "Section1" in md:
+        md = _SECTION1.sub("", md)
+    if "toc-macro" in md:
+        md = _TOC_MACRO.sub("", md)
 
     # G3 (markdown.go:362-387)
-    for pat, repl in _MACROS:
-        md = pat.sub(repl, md)
+    if "confluence-information-macro" in md:
+        for pat, repl in _MACROS:
+            md = pat.sub(repl, md)
 
     # G4 (markdown.go:389-393)
-    md = _AUI_ICON.sub("", md)
-    md = _MACRO_BODY.sub("", md)
+    if "aui-icon" in md:
+        md = _AUI_ICON.sub("", md)
+    if "confluence-information-macro-body" in md:
+        md = _MACRO_BODY.sub("", md)
 
     # G5 (markdown.go:395-397)
-    md = _PANEL.sub("\n> ", md)
-    md = _PANEL_CONTENT.sub("", md)
+    if '<div class="panel"' in md:
+        md = _PANEL.sub("\n> ", md)
+    if "panelContent" in md:
+        md = _PANEL_CONTENT.sub("", md)
 
-    # G6 (markdown.go:399-409)
-    md = _EXPANDER.sub("\n<details>\n", md)
-    md = _EXPANDER_CONTROL.sub("<summary>", md)
-    md = _EXPAND_ICON_TEXT.sub(r"\1", md)
-    md = _EXPAND_TEXT.sub(r"\1", md)
-    md = _EXPAND_ICON.sub("", md)
-    md = _EXPANDER_CONTENT.sub("</summary>\n", md)
-    md = _NESTED_DETAILS.sub("</summary>\n\n", md)
-    md = _DETAILS_FENCE.sub("\n```", md)
+    # G6 (markdown.go:399-409) — original rule order preserved exactly
+    if "expander-" in md:
+        md = _EXPANDER.sub("\n<details>\n", md)
+        md = _EXPANDER_CONTROL.sub("<summary>", md)
+    if "expand-control" in md:
+        md = _EXPAND_ICON_TEXT.sub(r"\1", md)
+        md = _EXPAND_TEXT.sub(r"\1", md)
+        md = _EXPAND_ICON.sub("", md)
+    if "expander-" in md:
+        md = _EXPANDER_CONTENT.sub("</summary>\n", md)
+    if "</summary>" in md:
+        md = _NESTED_DETAILS.sub("</summary>\n\n", md)
+    if "<details>" in md:
+        md = _DETAILS_FENCE.sub("\n```", md)
 
     # G7 (markdown.go:411-418)
-    md = _CODE_PANEL.sub("", md)
-    md = _CODE_CONTENT.sub("", md)
-    md = _CODE_HEADER.sub("", md)
-    md = md.replace("``` syntaxhighlighter-pre", "```")
-    md = _FENCE_ATTRS.sub("```", md)
+    if "code panel" in md:
+        md = _CODE_PANEL.sub("", md)
+    if "codeContent" in md:
+        md = _CODE_CONTENT.sub("", md)
+    if "codeHeader" in md:
+        md = _CODE_HEADER.sub("", md)
+    if "```" in md:
+        md = md.replace("``` syntaxhighlighter-pre", "```")
+        md = _FENCE_ATTRS.sub("```", md)
 
     # G8 (markdown.go:420-429)
-    md = _HTML_LINK.sub(r"[\2](\1)", md)
-    md = _HTML_LINK_U.sub(r"[\2](\1)", md)
-    md = _U_TAG.sub("", md)
+    if "<a" in md:
+        md = _HTML_LINK.sub(r"[\2](\1)", md)
+        md = _HTML_LINK_U.sub(r"[\2](\1)", md)
+    if "<u>" in md or "</u>" in md:
+        md = _U_TAG.sub("", md)
 
     # G9 (markdown.go:431-437)
-    md = _DIV3.sub("\n</details>\n\n", md)
-    md = _DIV2.sub("\n\n", md)
-    md = md.replace("</div>", "")
-    md = _SPAN_ANY.sub("", md)
+    if "</div>" in md:
+        md = _DIV3.sub("\n</details>\n\n", md)
+        md = _DIV2.sub("\n\n", md)
+        md = md.replace("</div>", "")
+    if "span" in md:
+        md = _SPAN_ANY.sub("", md)
 
     # G10 — entity cleanup, 2nd pass (markdown.go:439-442)
-    for entity, char in HTML_ENTITY_ITEMS:
-        md = md.replace(entity, char)
+    if "&" in md:
+        for entity, char in HTML_ENTITY_ITEMS:
+            md = md.replace(entity, char)
 
     # G11 (markdown.go:444-479)
-    md = _ESC_BR.sub("\n", md)
-    md = _ESC_P.sub("\n", md)
-    md = _ESC_DIV.sub("", md)
-    md = _ESC_SPAN.sub("", md)
-    md = _ESC_IMG.sub(_escaped_img, md)
-    md = _ESC_ANY.sub("", md)
+    if "\\<" in md:
+        md = _ESC_BR.sub("\n", md)
+        md = _ESC_P.sub("\n", md)
+        md = _ESC_DIV.sub("", md)
+        md = _ESC_SPAN.sub("", md)
+        md = _ESC_IMG.sub(_escaped_img, md)
+        md = _ESC_ANY.sub("", md)
 
     # G12 (markdown.go:481-483)
-    md = _NESTED_LIST_START.sub(r"\1  - ", md)
-    md = _NESTED_LIST.sub(r"\n\1  - ", md)
+    if "- - " in md:
+        md = _NESTED_LIST_START.sub(r"\1  - ", md)
+        md = _NESTED_LIST.sub(r"\n\1  - ", md)
 
     # G13 (markdown.go:485-491)
-    md = _STRAY_BR.sub("\n", md)
-    md = _EMPTY_DIV.sub("", md)
-    md = md.replace("</div>", "")
+    if "<br" in md:
+        md = _STRAY_BR.sub("\n", md)
+    if "<div" in md:
+        md = _EMPTY_DIV.sub("", md)
+    if "</div>" in md:  # '&lt;/div&gt;' decoded by G10 has no '<div'
+        md = md.replace("</div>", "")
 
     # G14 (markdown.go:493-504)
     md = _MULTI_NEWLINE.sub("\n\n", md)

@@ -313,3 +313,93 @@ def test_gfm_task_list_checkboxes():
     assert "- [x] done" in md and "- [ ] todo" in md
     # non-checkbox inputs have no GFM form
     assert "input" not in html_to_markdown('<p>a<input type="text">b</p>')
+
+
+# ------------------------------------------------------ fast-path parser ----
+
+def _slow_parse(s):
+    from confluence2md_spark.core.html2md import _TreeBuilder
+
+    p = _TreeBuilder()
+    p.feed(s)
+    p.close()
+    return p.root
+
+
+def _tree_eq(a, b, path="root"):
+    assert a.tag == b.tag, (path, a.tag, b.tag)
+    assert a.attrs == b.attrs, (path, a.attrs, b.attrs)
+    assert a.raw == b.raw, (path, repr(a.raw), repr(b.raw))
+    assert len(a.children) == len(b.children), (path, a.tag, len(a.children), len(b.children))
+    for i, (x, y) in enumerate(zip(a.children, b.children)):
+        _tree_eq(x, y, f"{path}/{a.tag}[{i}]")
+
+
+def test_fast_parse_differential_on_corpus():
+    """The regex tokenizer must build the IDENTICAL node tree html.parser
+    builds, on every corpus document (it claims the whole post-preprocess
+    Confluence HTML class)."""
+    import duckdb
+
+    from confluence2md_spark.core.entities import decode_html_entities
+    from confluence2md_spark.core.html2md import _fast_parse
+    from confluence2md_spark.core.mimeparse import extract_html_from_mime
+    from confluence2md_spark.core.prehtml import pre_process_html
+    from confluence2md_spark.sources.corpus import duckdb_raw_files_cte
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(
+        f"WITH raw_files AS ({duckdb_raw_files_cte()}) "
+        "SELECT content FROM raw_files WHERE lang = 'confluence'"
+    ).fetchall()
+    assert rows
+    claimed = 0
+    for (c,) in rows:
+        st, html = extract_html_from_mime(c)
+        if st != "ok":
+            continue
+        pre = pre_process_html(decode_html_entities(html))
+        fast = _fast_parse(pre)
+        assert fast is not None, "fast parser must claim every corpus doc"
+        _tree_eq(fast, _slow_parse(pre))
+        claimed += 1
+    assert claimed > 0
+
+
+def test_fast_parse_differential_on_adversarial_shapes():
+    """Tricky HTML: the fast parser either declines (html.parser rules) or
+    builds the identical tree."""
+    from confluence2md_spark.core.html2md import _fast_parse
+
+    shapes = [
+        "<p>plain</p>",
+        "<p>unclosed",
+        "<P CLASS=\"X\">case <B>folding</B></P>",           # tag/attr lowercase
+        "<ul><li>a<li>b</ul>",                               # unclosed li
+        "<td></td><table><tr><td>x</td></tr></table>",     # stray cells
+        "<img src='s' alt=plain disabled>",                  # quote styles + bare attr
+        "<x/><br/><br />text",                               # self-closing + void
+        "</p>stray closer",
+        "<div>text with > inside</div>",
+        "<title>t</title><p>x</p>",                          # RCDATA special case
+        "<em>a</em> <em>b</em>",
+    ]
+    decline = [
+        "a & b",                                             # charrefs are html.parser's business
+        "<!-- comment --><p>x</p>",
+        "<!DOCTYPE html><p>x</p>",
+        "<script>var x = 1 < 2;</script>",
+        "<p attr='unterminated>x</p>",
+        "<title>has <b>markup</b></title>",
+        "line\r\nwith CR",
+    ]
+    for s in shapes:
+        fast = _fast_parse(s)
+        if fast is not None:
+            _tree_eq(fast, _slow_parse(s))
+    for s in decline:
+        assert _fast_parse(s) is None, f"must decline: {s!r}"
