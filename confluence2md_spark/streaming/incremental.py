@@ -313,3 +313,85 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------- stream-stream interval join --
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def streaming_view_attribution(
+    events: DataFrame, max_gap: str = "1 hour", watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream INTERVAL join: every (purchase, view) pair by the same
+    user with view_ts in (purchase_ts - max_gap, purchase_ts].
+
+    This is the streaming-safe form of the batch as-of join
+    (operators/asof.py): unbounded "latest prior view" history cannot be
+    kept on a stream, so the lookback is bounded by `max_gap` and ALL views
+    inside the window attribute (the consumer picks max view_ts downstream
+    if single-attribution is wanted). Both sides carry watermarks and the
+    join condition carries the time range — that pair is exactly what lets
+    Spark expire join state: a buffered view is dropped once the purchase
+    watermark passes view_ts + max_gap, so state is bounded by
+    (watermark_delay + max_gap) x arrival rate, never stream length.
+    Inner join: matches emit as soon as both sides arrive (append mode)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark_delay)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark_delay)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts <= p_ts "
+            f"AND v_ts > p_ts - interval {max_gap}"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)").alias("gap_us"),
+    )
+
+
+def run_view_attribution(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_gap: str = "1 hour",
+    watermark_delay: str = "2 hours",
+):
+    """Drain an events drop dir into attributed (purchase, view) pairs."""
+    ev = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return (
+        streaming_view_attribution(ev, max_gap, watermark_delay)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

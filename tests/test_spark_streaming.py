@@ -273,3 +273,70 @@ def test_streaming_dedup_watermark_variant_bounds_state(spark, tmp_path):
         .distinct()
         .collect()
     }
+
+
+def test_view_attribution_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream interval join drained over two batches equals the batch
+    interval join on the same rows: all (purchase, view) same-user pairs
+    with view_ts in (purchase_ts - 1h, purchase_ts]."""
+    from datetime import datetime as dt
+
+    from confluence2md_spark.streaming.incremental import run_view_attribution
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "attr")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    batch1 = [
+        (1, dt(2025, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+        (2, dt(2025, 1, 1, 10, 30), 1, "purchase", 9.0, "{}"),   # <- view 1
+        (3, dt(2025, 1, 1, 10, 40), 2, "view", 0.0, "{}"),
+        (4, dt(2025, 1, 1, 12, 0), 1, "purchase", 9.0, "{}"),    # view 1 too old
+    ]
+    batch2 = [
+        (5, dt(2025, 1, 1, 12, 10), 2, "purchase", 9.0, "{}"),   # view 3 too old
+        (6, dt(2025, 1, 1, 12, 20), 2, "view", 0.0, "{}"),
+        (7, dt(2025, 1, 1, 12, 40), 2, "purchase", 9.0, "{}"),   # <- view 6
+        (8, dt(2025, 1, 1, 12, 40), 1, "view", 0.0, "{}"),
+        (9, dt(2025, 1, 1, 12, 40), 1, "purchase", 9.0, "{}"),   # <- view 8 (equal ts)
+        (10, dt(2025, 1, 1, 11, 20), 2, "purchase", 9.0, "{}"),  # <- view 3 CROSS-batch
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(src)
+    run_view_attribution(spark, src, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run_view_attribution(spark, src, out, ckpt).awaitTermination(120)
+
+    import os
+
+    got = (
+        {(r["purchase_id"], r["view_id"], r["gap_us"]) for r in spark.read.parquet(out).collect()}
+        if os.path.isdir(out)
+        else set()
+    )
+
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    all_rows.createOrReplaceTempView("ev_all")
+    expect = {
+        (r["purchase_id"], r["view_id"], r["gap_us"])
+        for r in spark.sql(
+            """
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   timestampdiff(MICROSECOND, v.ts, p.ts) AS gap_us
+            FROM ev_all p JOIN ev_all v
+              ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND v.event_type = 'view' AND v.ts <= p.ts
+             AND v.ts > p.ts - interval 1 hour
+            """
+        ).collect()
+    }
+    assert expect == {
+        (2, 1, 1800000000),
+        (7, 6, 1200000000),
+        (9, 8, 0),
+        (10, 3, 2400000000),  # batch-2 purchase matched a batch-1 view
+    }
+    assert got == expect
