@@ -802,3 +802,48 @@ def test_corpus_curation_plan_never_shuffles_text(spark, sf_dir):
     for line in exchanges:
         assert "text#" not in line, f"text crosses a shuffle: {line}"
     assert out.count() > 0
+
+
+def test_planted_cluster_vectors_bitexact_vs_duckdb_and_separable(spark, sf_dir):
+    """The clusterable contract fixture (VERDICT r3 items 2/7): the Spark
+    transform and its DuckDB twin must agree on every coordinate bit-for-bit
+    (float->double widening + a binary-exact pull literal), and the planted
+    geometry must actually separate: a non-empty cosine>=0.85 pair set that
+    is a strict subset of same-label pairs."""
+    import duckdb
+    import numpy as np
+
+    from confluence2md_spark.operators.similarity import (
+        planted_cluster_sql_duck,
+        planted_cluster_vectors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["label"], r["embedding"])
+        for r in planted_cluster_vectors(emb).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    ora = {
+        vid: (lab, v)
+        for vid, lab, v in con.execute(planted_cluster_sql_duck()).fetchall()
+    }
+    assert got.keys() == ora.keys() and len(got) > 0
+    for vid in got:
+        assert got[vid][0] == ora[vid][0]
+        assert got[vid][1] == ora[vid][1], f"coordinate mismatch at vec_id={vid}"
+
+    ids = sorted(got)
+    V = np.array([got[i][1] for i in ids])
+    lab = np.array([got[i][0] for i in ids])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), 1)
+    same = lab[iu[0]] == lab[iu[1]]
+    cs = C[iu]
+    assert (cs >= 0.85).sum() > 0, "fixture is vacuous: no pair reaches 0.85"
+    assert ((cs >= 0.85) & ~same).sum() == 0, "cross-label pair above threshold"
+    assert (same & (cs < 0.85)).sum() > 0, "threshold does no work within labels"
