@@ -3,6 +3,8 @@ SimHash, ANN recall, salted repartition, multimodal plumbing."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -216,6 +218,54 @@ def test_simhash_deterministic_and_finds_dups(spark):
     assert sig[1] == sig[2] != sig[3]
     pairs = {(r["src"], r["dst"]) for r in simhash_near_dup_pairs(df).collect()}
     assert (1, 2) in pairs
+
+
+def test_fnv1a_bulk_matches_scalar():
+    """Differential twin promised in _fnv1a_bulk's docstring: the padded-
+    matrix numpy kernel must be bit-identical to the per-byte scalar
+    reference on corpus-ish, adversarial, and empty tokens."""
+    from confluence2md_spark.operators.dedup import _fnv1a, _fnv1a_bulk
+
+    toks = [
+        "", "a", "spark", "merge-join", "naïve", "日本語テキスト",
+        "x" * 300,  # longer than every other token: exercises the mask tail
+        "\x00\x01\xff", "UPPER lower MiXeD", "🎉🎊", "tab\there",
+    ] + [f"tok{i}" for i in range(100)]
+    enc = [t.encode("utf-8") for t in toks]
+    bulk = _fnv1a_bulk(enc)
+    assert bulk.dtype == np.uint64 and len(bulk) == len(toks)
+    for t, h in zip(toks, bulk.tolist()):
+        assert h == _fnv1a(t), repr(t)
+    assert len(_fnv1a_bulk([])) == 0
+
+
+def test_simhash_vectorized_matches_scalar_reference():
+    """The factorize+reduceat batch path must produce the same signatures
+    as a direct per-row scalar simhash built from _fnv1a (the r3 semantics),
+    so the banded pair set is unchanged by the vectorization."""
+    from confluence2md_spark.operators.dedup import _fnv1a, _simhash64_fnv
+
+    def scalar_simhash(t: str) -> int:
+        toks = t.lower().split()
+        if not toks:
+            return 0
+        hs = np.array([_fnv1a(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        sig = int(((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    texts = [
+        "", "   ", "one", "one one one", "Spark SQL window MERGE join",
+        "entirely unrelated words banana apple cherry kiwi",
+        "spark window merge join filter scan " * 10,
+        "naïve café déjà-vu 日本語 テキスト",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        None,
+    ]
+    got = _simhash64_fnv(pd.Series(texts)).tolist()
+    want = [scalar_simhash(t or "") for t in texts]
+    assert got == want
 
 
 # ----------------------------------------------------------------- ANN ----
