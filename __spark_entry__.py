@@ -568,15 +568,18 @@ def _stats_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     base = li.select(F.col("l_returnflag").alias("returnflag"), cents.alias("c"))
     # pass 1: exact n and sum -> integer pivot (the group's floored mean).
-    # pass 2: exact sums of pivot-CENTERED values; variance is shift-
-    # invariant, and centering keeps the squared terms ~(spread)^2 instead
-    # of (price)^2 — the difference between int64 overflowing at ~10^5 rows
-    # per group and being safe to ~10^6 TB of price data. The pivot table
-    # is one row per group: broadcast.
+    # pass 2: exact sums of pivot-CENTERED values in DECIMAL(38,0); variance
+    # is shift-invariant, and centering keeps the squared terms ~(spread)^2
+    # instead of (price)^2.  Even centered, sum(d*d) in int64 overflows at
+    # roughly 4-5M rows per group for TPC-H-like spreads (d ~ 5e6 cents,
+    # d^2 ~ 2.5e13), so the squared terms are cast to decimal BEFORE the
+    # multiply — order-independent exact integer arithmetic to 10^38, and
+    # DuckDB's HUGEINT accumulator on the oracle side is exact the same way.
+    # The pivot table is one row per group: broadcast.
     piv = base.groupBy("returnflag").agg(
         F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_cents")
     ).withColumn("pv", F.expr("sum_cents div n"))
-    d = F.col("c") - F.col("pv")
+    d = (F.col("c") - F.col("pv")).cast("decimal(38,0)")
     g = (
         base.join(F.broadcast(piv), "returnflag")
         .groupBy("returnflag", "n", "sum_cents")
@@ -1312,9 +1315,11 @@ WITH base AS (
          CAST(sum(c) AS BIGINT) // count(*) AS pv
   FROM base GROUP BY 1
 ), g AS (
+  -- sums stay in DuckDB's HUGEINT accumulator (exact); casting them to
+  -- BIGINT here would error once sum of squares passes 2^63
   SELECT base.returnflag, n, sum_cents,
-         CAST(sum(c - pv) AS BIGINT) AS sum_d,
-         CAST(sum((c - pv) * (c - pv)) AS BIGINT) AS sumsq_d
+         sum(c - pv) AS sum_d,
+         sum((c - pv) * (c - pv)) AS sumsq_d
   FROM base JOIN piv ON base.returnflag = piv.returnflag
   GROUP BY 1, 2, 3
 )

@@ -34,14 +34,20 @@ def asof_join(
     """Left as-of join: every left row, plus `value_cols` from the latest
     right row with right_ts <= left_ts on the same `key` (nulls when no
     such row). Assumes (key, ts) unique per side — ties across sides
-    resolve inclusively (the equal-ts right row wins)."""
+    resolve inclusively (the equal-ts right row wins).
+
+    The carried values travel as ONE struct through a single
+    ``last(ignorenulls=True)``: carrying each column independently would
+    stitch fields of DIFFERENT right rows together whenever a newer right
+    row has a legitimately-NULL value column (its null would be skipped and
+    that field would carry from an older row — ADVICE r3)."""
     carried = [f"{c}{suffix}" for c in value_cols]
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(value_cols, carried)],
+        F.lit(None).cast(right.select(*value_cols).schema).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
@@ -50,7 +56,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_l"].dataType
         ).alias("_l"),
-        *[F.col(c).alias(n) for c, n in zip(value_cols, carried)],
+        F.struct(*value_cols).alias("_r"),
     )
     w = (
         Window.partitionBy("_k")
@@ -60,6 +66,8 @@ def asof_join(
     u = l_tagged.unionByName(r_tagged).select(
         "_side",
         "_l",
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return u.filter(F.col("_side") == 1).select("_l.*", *carried)
+    return u.filter(F.col("_side") == 1).select(
+        "_l.*", *[F.col(f"_r.{c}").alias(n) for c, n in zip(value_cols, carried)]
+    )

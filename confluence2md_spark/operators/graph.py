@@ -16,10 +16,13 @@ study). Classic simplifications, mirrored in both engines: simple graph
 
 Scale shape: each iteration is (edges ⋈ ranks on src) -> groupBy(dst) —
 one shuffle per iteration keyed on node ids (never strings longer than the
-id), with edges/outdeg persisted once and reused across iterations. At
-10^12-edge scale you'd checkpoint ranks every few iterations to truncate
-lineage; with a fixed 5-iteration contract the plan depth is bounded and
-checkpointing is unnecessary.
+id), with edges/outdeg persisted once and reused across iterations (and
+unpersisted before returning — long-lived sessions like the contract driver
+would otherwise leak cached blocks across queries). Lineage is truncated
+with localCheckpoint every `checkpoint_every` iterations, the same
+discipline as the connected-components loop — without it an iters=20 run
+on a 10^12-edge graph carries an unbounded 20-join plan into every stage
+resubmission.
 """
 
 from __future__ import annotations
@@ -31,17 +34,32 @@ DAMPING_MICROS = 850_000
 BASE_MICROS = 1_000_000 - DAMPING_MICROS  # (1 - d) in micros
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Drop the cached blocks behind a localCheckpoint-ed DataFrame.
+    Dataset.unpersist only covers CacheManager entries; a local checkpoint
+    registers its RDD directly, reachable via the LogicalRDD node. Only
+    call on checkpoints that nothing downstream will read again."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: a leaked cache block is preferable to a crash
+
+
 def pagerank_micros(
     edges: DataFrame,
     src: str = "subj",
     dst: str = "obj",
     iters: int = 5,
     topk: int | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(page, rank_micros) after `iters` exact-integer power iterations.
 
     `edges` is any (src, dst) relation; duplicates are dropped. If `topk`
-    is set, returns the top-k by (rank desc, page asc).
+    is set, returns the top-k by (rank desc, page asc). Every
+    `checkpoint_every` iterations the ranks relation is localCheckpoint-ed
+    (eager) so the logical plan stays O(checkpoint_every) joins deep no
+    matter how many iterations run.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -54,29 +72,46 @@ def pagerank_micros(
         .distinct()
         .persist()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ranks = nodes.select("page", F.lit(1_000_000).cast("bigint").alias("rank_micros"))
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("page", "src"), "src")
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("page"),
-                F.expr("rank_micros DIV d").alias("c"),
-            )
+    try:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        ranks = nodes.select(
+            "page", F.lit(1_000_000).cast("bigint").alias("rank_micros")
         )
-        sums = contrib.groupBy("page").agg(F.sum("c").alias("c"))
-        ranks = nodes.join(sums, "page", "left").select(
-            "page",
-            (
-                F.lit(BASE_MICROS)
-                + F.expr(f"coalesce(c, 0) * {DAMPING_MICROS} DIV 1000000")
+        prev_ckpt: DataFrame | None = None
+        for i in range(iters):
+            contrib = (
+                e.join(ranks.withColumnRenamed("page", "src"), "src")
+                .join(outdeg, "src")
+                .select(
+                    F.col("dst").alias("page"),
+                    F.expr("rank_micros DIV d").alias("c"),
+                )
             )
-            .cast("bigint")
-            .alias("rank_micros"),
-        )
-    if topk is not None:
-        ranks = ranks.orderBy(F.desc("rank_micros"), F.asc("page")).limit(topk)
+            sums = contrib.groupBy("page").agg(F.sum("c").alias("c"))
+            ranks = nodes.join(sums, "page", "left").select(
+                "page",
+                (
+                    F.lit(BASE_MICROS)
+                    + F.expr(f"coalesce(c, 0) * {DAMPING_MICROS} DIV 1000000")
+                )
+                .cast("bigint")
+                .alias("rank_micros"),
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev_ckpt is not None:  # superseded — release its blocks
+                    _release_local_checkpoint(prev_ckpt)
+                prev_ckpt = ranks
+        if topk is not None:
+            ranks = ranks.orderBy(F.desc("rank_micros"), F.asc("page")).limit(topk)
+        # materialize before dropping the caches the plan depends on; this
+        # final checkpoint is the RESULT and stays alive for the consumer
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            _release_local_checkpoint(prev_ckpt)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
     return ranks
 
 

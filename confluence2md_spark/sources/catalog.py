@@ -165,16 +165,32 @@ def merge_edges(
         return f"{_namespace()}.edges"
     final = os.path.join(warehouse, "edges")
     if not os.path.exists(final):
-        # first delta: no existing table — the delta IS the table
-        delta.write.mode("overwrite").partitionBy("pred").parquet(final)
-        return final
+        # A missing edges dir is NOT automatically "first delta": a crash in
+        # the window between the two swap renames below leaves the previous
+        # table parked at edges.bak-* with no final dir, and bootstrapping
+        # here would silently shrink the table to just this delta.  Restore
+        # the parked table first and fall through to a normal merge.
+        import glob
+        import shutil
+
+        remnants = sorted(glob.glob(f"{final}.bak-*"), key=os.path.getmtime)
+        if remnants:
+            os.rename(remnants[-1], final)
+            for r in remnants[:-1]:  # older orphans, already superseded
+                shutil.rmtree(r)
+            for s in glob.glob(os.path.join(warehouse, "edges_merge_*")):
+                shutil.rmtree(s)  # incomplete/unswapped staging writes
+        else:
+            # genuinely first delta: the delta IS the table
+            delta.write.mode("overwrite").partitionBy("pred").parquet(final)
+            return final
     existing = load_table(spark, warehouse, "edges")
     merged = merge_edges_delta(existing, delta)
     # parquet cannot rewrite in place while reading — stage then swap.
-    # Swap order is crash-safe: final -> backup, staging -> final, drop
-    # backup. A crash mid-swap leaves either the old table (step 1 only)
-    # or the new one plus a removable .bak dir — never NO edges table
-    # (the old rmtree-then-rename had exactly that window).
+    # Swap order: final -> backup, staging -> final, drop backup.  A crash
+    # between the two renames leaves no final dir but DOES leave the old
+    # table parked at edges.bak-*; the bootstrap branch above restores it
+    # on the next run instead of mistaking the state for a first delta.
     import shutil
     import tempfile
 

@@ -203,6 +203,38 @@ def test_merge_edges_first_delta_creates_table(spark, tmp_path):
     assert not [d for d in os.listdir(wh) if d.startswith("edges.bak")]
 
 
+def test_merge_edges_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between rename(final, backup) and rename(staging, final)
+    leaves only edges.bak-* — the next merge must restore the parked table
+    and merge into IT, not bootstrap the delta as the whole table
+    (ADVICE r3: that window silently discarded all merged history)."""
+    schema = (
+        "subj string, pred string, obj string, subj_type string, "
+        "obj_type string, confidence double, n_sources long, repo string"
+    )
+    d1 = spark.createDataFrame(
+        [("a", "links_to", "b", "page", "page", 1.0, 2, "r0")], schema
+    )
+    d2 = spark.createDataFrame(
+        [("a", "links_to", "b", "page", "page", 1.0, 3, "r0"),
+         ("c", "links_to", "d", "page", "page", 0.5, 1, "r0")], schema
+    )
+    wh = str(tmp_path)
+    catalog.merge_edges(spark, wh, d1)
+    # simulate the crash window: table parked at .bak, staging incomplete
+    os.rename(f"{wh}/edges", f"{wh}/edges.bak-edges_merge_crash1")
+    os.makedirs(f"{wh}/edges_merge_orphan")
+    catalog.merge_edges(spark, wh, d2)
+    rows = {
+        (r["subj"], r["obj"]): r["n_sources"]
+        for r in spark.read.parquet(f"{wh}/edges").collect()
+    }
+    # history (n_sources=2) survived and the delta merged on top of it
+    assert rows == {("a", "b"): 5, ("c", "d"): 1}
+    debris = [d for d in os.listdir(wh) if d.startswith(("edges.bak", "edges_merge_"))]
+    assert not debris
+
+
 def test_iceberg_ddl_namespace_resolves_at_call_time(monkeypatch):
     """Setting KG_NAMESPACE after import must reach the DDL, so ensure_tables
     and load/write agree on the namespace (ADVICE r2)."""
