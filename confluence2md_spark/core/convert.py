@@ -78,7 +78,9 @@ def convert_html_to_markdown(html: str) -> str:
 
 @dataclass
 class DocResult:
-    status: str  # ok | not_confluence | parse_error | not_multipart | no_boundary | no_html_part
+    # ok | not_confluence | parse_error | not_multipart | no_boundary
+    # | no_html_part | over_budget
+    status: str
     title: str = ""
     html: str = ""
     markdown: str = ""
@@ -88,15 +90,55 @@ class DocResult:
     attachments: list[tuple[str, str, int, str]] = field(default_factory=list)
 
 
-def convert_document(content: str) -> DocResult:
-    """Full per-document pipeline over the raw ``content`` string."""
-    sha = hashlib.sha256(content.encode("utf-8", "surrogateescape")).hexdigest()
+def convert_document(
+    content: str,
+    *,
+    max_bytes: int | None = None,
+    timeout_s: float | None = None,
+) -> DocResult:
+    """Full per-document pipeline over the raw ``content`` string.
+
+    Budget guards (the reference enforces a 2-minute per-document pandoc
+    timeout, markdown.go:19-20,65 — without one, a single pathological
+    document stalls its whole Arrow batch with no quarantine route):
+
+    * ``max_bytes`` — deterministic size cap on the UTF-8 payload; over-cap
+      documents quarantine as ``over_budget`` without converting.
+    * ``timeout_s`` — wall-clock budget checked at every top-level stage
+      boundary (mime split / pre-HTML / HTML→MD / post-MD). CPython cannot
+      interrupt a C-level regex mid-match (SIGALRM is only seen between
+      bytecodes), so the granularity is the stage, not the instruction —
+      each stage is itself linear-or-guarded, which is what makes boundary
+      checks sufficient in practice. Like the reference's pandoc timeout,
+      a time-based quarantine is inherently machine-dependent; the size cap
+      is the deterministic half of the budget.
+
+    Both default to None (off) so the pure function stays deterministic for
+    oracle contracts; the Spark operator layer passes production defaults.
+    """
+    data = content.encode("utf-8", "surrogateescape")
+    sha = hashlib.sha256(data).hexdigest()
+    if max_bytes is not None and len(data) > max_bytes:
+        return DocResult(status="over_budget", content_sha256=sha)
+    if timeout_s is not None:
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+
+        def _over() -> bool:
+            return _time.monotonic() > deadline
+    else:
+        def _over() -> bool:
+            return False
+
     if not is_confluence_mime(content):
         return DocResult(status="not_confluence", content_sha256=sha)
 
     status, parts = split_mime(content)
     if status != "ok":
         return DocResult(status=status, content_sha256=sha)
+    if _over():
+        return DocResult(status="over_budget", content_sha256=sha)
 
     html = ""
     attachments: list[tuple[str, str, int, str]] = []
@@ -114,7 +156,15 @@ def convert_document(content: str) -> DocResult:
         return DocResult(status="no_html_part", content_sha256=sha, attachments=attachments)
 
     authors = extract_user_mentions(html)
-    markdown = convert_html_to_markdown(html)
+    pre = pre_process_html(html)
+    if _over():
+        return DocResult(status="over_budget", content_sha256=sha, attachments=attachments)
+    md_raw = html_to_markdown(pre)
+    if _over():
+        return DocResult(status="over_budget", content_sha256=sha, attachments=attachments)
+    markdown = post_process_markdown(md_raw)
+    if _over():
+        return DocResult(status="over_budget", content_sha256=sha, attachments=attachments)
     title = extract_title(html)
     return DocResult(
         status="ok",

@@ -89,13 +89,39 @@ PAGES_SCHEMA = StructType(
 )
 
 
-def _convert_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+# Reference parity: 2-minute per-document conversion budget
+# (/root/reference/converter/markdown.go:19-20) plus a deterministic size
+# cap; over-budget documents land in the over_budget quarantine status and
+# the batch keeps going. Env-overridable so operators can tighten/disable
+# per deployment (0 disables a guard).
+_DEFAULT_TIMEOUT_S = 120.0
+_DEFAULT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _budgets() -> tuple[float | None, int | None]:
+    import os
+
+    t = float(os.environ.get("KG_CONVERT_TIMEOUT_S", _DEFAULT_TIMEOUT_S))
+    b = int(os.environ.get("KG_CONVERT_MAX_BYTES", _DEFAULT_MAX_BYTES))
+    return (t or None), (b or None)
+
+
+def _convert_batches(
+    batches: Iterator[pd.DataFrame],
+    timeout_s: float | None = None,
+    max_bytes: int | None = None,
+) -> Iterator[pd.DataFrame]:
+    if timeout_s is None and max_bytes is None:
+        timeout_s, max_bytes = _budgets()  # read on the EXECUTOR, per task
+    timeout_s, max_bytes = timeout_s or None, max_bytes or None  # 0 = off
     for pdf in batches:
         out = {k: [] for k in PAGES_SCHEMA.fieldNames()}
         for doc_id, repo, path, commit, content in zip(
             pdf["doc_id"], pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
         ):
-            r = convert_document(content or "")
+            r = convert_document(
+                content or "", max_bytes=max_bytes, timeout_s=timeout_s
+            )
             out["doc_id"].append(doc_id)
             out["repo"].append(repo)
             out["path"].append(path)
@@ -126,6 +152,8 @@ def convert_pages(
     raw_files: DataFrame,
     prefilter: bool = True,
     num_partitions: int | None = None,
+    timeout_s: float | None = None,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """raw_files (repo,path,commit,lang,content[,doc_id]) -> pages.
 
@@ -138,6 +166,12 @@ def convert_pages(
     input arrives as one partition and would serialize the UDF onto one
     core). The pipeline passes None because it pre-balances with
     salted_repartition (plans/skew.py).
+
+    `timeout_s` / `max_bytes`: per-document conversion budget (reference's
+    2-minute pandoc timeout, markdown.go:19-20). Defaults (None, None)
+    resolve from KG_CONVERT_TIMEOUT_S / KG_CONVERT_MAX_BYTES env on the
+    executor, falling back to 120 s / 64 MiB; over-budget docs land in the
+    `over_budget` quarantine status and the batch keeps going.
     """
     df = raw_files
     if "doc_id" not in df.columns:
@@ -148,4 +182,10 @@ def convert_pages(
     if num_partitions:
         df = df.repartition(num_partitions)
     cols = ["doc_id", "repo", "path", "commit", "content"]
-    return df.select(*cols).mapInPandas(_convert_batches, schema=PAGES_SCHEMA)
+    if timeout_s is None and max_bytes is None:
+        fn = _convert_batches  # budgets resolved from env on the executor
+    else:
+        from functools import partial
+
+        fn = partial(_convert_batches, timeout_s=timeout_s, max_bytes=max_bytes)
+    return df.select(*cols).mapInPandas(fn, schema=PAGES_SCHEMA)

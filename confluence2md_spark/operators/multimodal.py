@@ -51,11 +51,66 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return width, height, fmt
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF markers carrying frame dimensions: C0-CF except C4 (DHT), C8 (JPG
+# extension), CC (DAC) — ITU T.81 table B.1.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """Real width/height from PNG (IHDR), JPEG (SOF segment scan), or GIF
+    (logical screen descriptor) header bytes — pure stdlib, no codec
+    (VERDICT r3 item 5: un-stubs metadata decode for the formats that
+    matter; pixel decode still needs PIL). None = not a recognized header
+    (caller falls back to the labeled fake)."""
+    if payload.startswith(_PNG_SIG) and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return w, h, "png"
+    if payload.startswith(b"\xff\xd8"):
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return w, h, "jpeg"
+            if marker == 0xDA:  # start of scan: entropy data, no SOF found
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return w, h, "gif"
+    return None
+
+
+def _decode_meta(payload: bytes) -> tuple[int, int, str]:
+    return _parse_image_header(payload) or _fake_decode(payload)
+
+
 def decode_image_meta(media: DataFrame, real: bool = False) -> DataFrame:
     """(doc_id, width, height, format) via mapInPandas over binary payloads.
 
-    real=True requires an actual decoder (PIL) — raises NotImplementedError
-    in this container; real=False uses the deterministic fake decode.
+    PNG/JPEG/GIF payloads get REAL header-parsed dimensions (stdlib byte
+    parsing — no codec needed for metadata); other payloads use the
+    deterministic fake. real=True additionally requires an actual pixel
+    decoder (PIL) — raises NotImplementedError in this container.
     """
     if real and not _HAS_PIL:
         raise NotImplementedError(
@@ -65,7 +120,7 @@ def decode_image_meta(media: DataFrame, real: bool = False) -> DataFrame:
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
+            meta = [_decode_meta(p if p is not None else b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -46,6 +46,44 @@ K1 = 1.2
 B = 0.75
 
 
+def bm25_postings(
+    docs: DataFrame,
+    terms_df: DataFrame,
+    text_col: str = "text",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """(doc_id, dl, term, tf, df, n_docs_corpus, avgdl) query-term postings.
+
+    Broadcast-semi-joins the term list against the exploded token stream
+    BEFORE aggregating, so tf shuffles O(q * df) rows, never O(total
+    tokens). `max_df_frac` is the stopword guard (VERDICT r3 item 8): a
+    query term present in more than `max_df_frac * N` documents would make
+    the downstream scored relation O(N) per such term while contributing
+    ~zero idf — its postings are dropped right after df is known, before
+    any scoring join. The cut is deterministic (a pure df threshold) and
+    mirrored in the SQL twin, so oracles stay exact."""
+    toks = tokens_col(F.col(text_col))
+    docs_tok = docs.select("doc_id", F.size(toks).alias("dl"), toks.alias("toks"))
+
+    # 1-row corpus stats; re-enters via broadcast (stays one lazy plan — no
+    # collect, so the contract query is a single DataFrame).
+    stats = docs_tok.agg(
+        F.count(F.lit(1)).alias("n_docs_corpus"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        docs_tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(terms_df), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    out = postings.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    if max_df_frac is not None:
+        out = out.filter(F.col("df") <= max_df_frac * F.col("n_docs_corpus"))
+    return out
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]] | None = None,
@@ -53,11 +91,14 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     topk: int = 10,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(q, doc_id, score_micros, rank): BM25 top-k docs per query.
 
     `queries`: [(query_id, "term term ...")]; terms are matched against the
     same whitespace tokenization every other text operator uses.
+    `max_df_frac` drops query terms with df > frac*N before scoring (the
+    stopword guard — see bm25_postings).
     """
     if queries is None:
         queries = DEFAULT_QUERIES
@@ -75,30 +116,8 @@ def bm25_topk(
     qterms_df = spark.createDataFrame(qterms, ["q", "term"])
     terms_df = qterms_df.select("term").distinct()
 
-    toks = tokens_col(F.col(text_col))
-    docs_tok = docs.select("doc_id", F.size(toks).alias("dl"), toks.alias("toks"))
-
-    # 1-row corpus stats; re-enters via broadcast (stays one lazy plan — no
-    # collect, so the contract query is a single DataFrame).
-    stats = docs_tok.agg(
-        F.count(F.lit(1)).alias("n_docs_corpus"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-
-    # Query-term postings only: broadcast-semi-join the term list against the
-    # exploded token stream BEFORE aggregating, so tf shuffles O(q * df) rows.
-    postings = (
-        docs_tok.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .join(F.broadcast(terms_df), "term")
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = (
-        postings.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms_df), "term")
-        .crossJoin(F.broadcast(stats))
+    scored = bm25_postings(docs, terms_df, text_col, max_df_frac).join(
+        F.broadcast(qterms_df), "term"
     )
     idf = F.log(
         (F.col("n_docs_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -128,11 +147,18 @@ def bm25_sql_duck(
     k1: float = K1,
     b: float = B,
     topk: int = 10,
+    max_df_frac: float | None = None,
 ) -> str:
     """DuckDB twin — same tokenization, same fixed-order arithmetic, same
-    floor-micros-then-integer-sum discipline, same (score desc, doc_id) ties."""
+    floor-micros-then-integer-sum discipline, same (score desc, doc_id)
+    ties, same df-cap cut when `max_df_frac` is set."""
     if queries is None:
         queries = DEFAULT_QUERIES
+    df_cut = (
+        f"WHERE d.df <= {max_df_frac} * s.n_docs_corpus"
+        if max_df_frac is not None
+        else ""
+    )
     qterm_rows = ", ".join(
         f"({qid}, '{term}')"
         for qid, qtext in queries
@@ -163,6 +189,7 @@ scored AS (
   JOIN dfreq d ON p.term = d.term
   JOIN qterms q ON p.term = q.term
   CROSS JOIN stats s
+  {df_cut}
 ),
 totals AS (
   SELECT q, doc_id, CAST(sum(c) AS BIGINT) AS score_micros

@@ -156,10 +156,14 @@ def streaming_sessionize(
       session_end is always the session's max event time, matching the
       batch sessionizer whenever the late event belongs to the open session.
     * older than that: its true session was already emitted, and append-mode
-      streaming cannot retract — emitted as a singleton session. This is the
-      one documented divergence from batch (inherent to append mode: a late
-      event that would BRIDGE two already-separated sessions cannot merge
-      rows that left the sink).
+      streaming cannot retract — emitted as a LATE session. Consecutive
+      too-old events within `gap_seconds` of each other in the same batch
+      coalesce into one emitted session (batch semantics would have grouped
+      them; ADVICE r3 — emitting each as a singleton was a second,
+      undocumented divergence). The residual divergence from batch is
+      inherent to append mode: a late event that would BRIDGE two
+      already-separated sessions cannot merge rows that left the sink, nor
+      can a too-old run merge with an earlier batch's emitted session.
 
     Scale: state is 3 scalars per ACTIVE user, partitioned by user_id —
     the same shuffle key the batch sessionizer uses."""
@@ -174,14 +178,28 @@ def streaming_sessionize(
         else:
             last_ts, start_ts, n = None, None, 0
         out = []
+        # coalescing run of too-old late events: (start, end, n).  Sorted
+        # ascending, too-old events form a prefix of the batch (start_ts
+        # only moves in ways that keep the too-old predicate monotone), so
+        # one pending run suffices.
+        pend = None
+
+        def _flush():
+            nonlocal pend
+            if pend is not None:
+                out.append((user_id, pend[0], pend[1], pend[2]))
+                pend = None
+
         # one global sort per (user, batch): pdf_iter may deliver several
         # Arrow chunks and the fold needs the full batch in time order
         batch_ts = sorted(t for pdf in pdf_iter for t in pdf["ts"])
         for ts in batch_ts:
             t = ts.timestamp()
             if last_ts is None:
+                _flush()
                 start_ts, last_ts, n = t, t, 1
             elif t >= last_ts:
+                _flush()
                 if t - last_ts > gap_seconds:
                     out.append((user_id, start_ts, last_ts, n))
                     start_ts, n = t, 0
@@ -190,11 +208,18 @@ def streaming_sessionize(
             elif t >= start_ts - gap_seconds:
                 # cross-batch late event belonging to the open session:
                 # merge; last_ts (= session_end) must not regress
+                _flush()
                 start_ts = min(start_ts, t)
                 n += 1
+            elif pend is not None and t - pend[1] <= gap_seconds:
+                # too old, but within gap of the previous too-old event:
+                # same late session (batch semantics would group them)
+                pend = (pend[0], t, pend[2] + 1)
             else:
                 # too old to merge — its session already left the sink
-                out.append((user_id, t, t, 1))
+                _flush()
+                pend = (t, t, 1)
+        _flush()
         state.update((last_ts, start_ts, n))
         import pandas as pd
 

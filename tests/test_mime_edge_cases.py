@@ -183,3 +183,43 @@ def test_fast_path_differential_on_adversarial_shapes():
     ]
     for s in shapes:
         _assert_paths_agree(s)
+
+
+# -------------------------------------------------- conversion budget ----
+
+_BUDGET_DOC = (
+    _HDR
+    + 'Content-Type: multipart/related; boundary="BOUND"\n\n'
+    + "--BOUND\n"
+    + "Content-Type: text/html; charset=\"UTF-8\"\n\n"
+    + "<html><head><title>Budget</title></head><body><p>fine</p></body></html>\n"
+    + "--BOUND--\n"
+)
+
+
+def test_convert_budget_size_cap_quarantines_deterministically():
+    """Reference parity (markdown.go:19-20 semantics): an over-cap document
+    quarantines as over_budget instead of stalling the batch — and the
+    size guard is deterministic (same input, same status, sha kept)."""
+    from confluence2md_spark.core.convert import convert_document
+
+    r = convert_document(_BUDGET_DOC, max_bytes=10)
+    assert r.status == "over_budget"
+    assert r.content_sha256 == hashlib.sha256(_BUDGET_DOC.encode()).hexdigest()
+    assert r.markdown == ""
+    # same doc without the cap converts normally
+    ok = convert_document(_BUDGET_DOC)
+    assert ok.status == "ok" and "fine" in ok.markdown
+
+
+def test_convert_budget_timeout_checks_stage_boundaries():
+    """timeout_s=0 trips the first stage-boundary check: the document
+    quarantines as over_budget rather than producing partial markdown."""
+    from confluence2md_spark.core.convert import convert_document
+
+    r = convert_document(_BUDGET_DOC, timeout_s=0.0)
+    assert r.status == "over_budget"
+    assert r.markdown == ""
+    # generous budget: converts normally
+    ok = convert_document(_BUDGET_DOC, timeout_s=120.0)
+    assert ok.status == "ok"

@@ -385,6 +385,75 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert meta2 == {r["doc_id"]: (r["width"], r["height"], r["format"]) for r in meta}
 
 
+def test_image_header_parse_real_png_jpeg_gif_bytes():
+    """Header-only metadata decode on REAL format bytes (VERDICT r3 item 5):
+    a complete 1x1 PNG file, a JPEG marker stream with COM before SOF0, a
+    GIF89a screen descriptor; corrupt/foreign payloads fall back to the
+    labeled fake."""
+    import struct
+    import zlib
+
+    from confluence2md_spark.operators.multimodal import (
+        _fake_decode,
+        _parse_image_header,
+    )
+
+    # real, complete 1x1 RGBA PNG (signature + IHDR + IDAT + IEND, valid CRCs)
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x00\x00\x00\x00")
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+    assert _parse_image_header(png) == (1, 1, "png")
+
+    big_png = png[:16] + struct.pack(">II", 3840, 2160) + png[24:]
+    assert _parse_image_header(big_png) == (3840, 2160, "png")
+
+    # JPEG: SOI, COM segment, then SOF0 with height=480 width=640
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xfe" + struct.pack(">H", 4) + b"ok"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    assert _parse_image_header(jpeg) == (640, 480, "jpeg")
+    # progressive (SOF2) parses the same way
+    assert _parse_image_header(jpeg.replace(b"\xff\xc0", b"\xff\xc2")) == (640, 480, "jpeg")
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert _parse_image_header(gif) == (320, 200, "gif")
+
+    # non-image and truncated payloads -> None (operator uses the fake)
+    assert _parse_image_header(b"plain text payload") is None
+    assert _parse_image_header(b"\xff\xd8\xff\xda rest is scan data") is None
+    assert _parse_image_header(png[:10]) is None
+    assert _fake_decode(b"plain text payload")[2] in ("png", "jpeg", "webp")
+
+
+def test_decode_image_meta_mixes_real_headers_and_fake(spark):
+    """The Spark operator returns header-parsed dims for real image bytes
+    and fake dims for everything else, in the same batch."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+        + struct.pack(">II", 800, 600) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    rows = spark.createDataFrame(
+        [(1, png), (2, b"not an image")], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: (r["width"], r["height"], r["format"])
+           for r in decode_image_meta(rows).collect()}
+    assert got[1] == (800, 600, "png")
+    assert 64 <= got[2][0] < 256  # fake-path dims
+
+
 def test_multimodal_real_decode_raises(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
     media = attach_binary_payload(docs)
@@ -952,3 +1021,37 @@ def test_planted_cluster_vectors_bitexact_vs_duckdb_and_separable(spark, sf_dir)
     assert (cs >= 0.85).sum() > 0, "fixture is vacuous: no pair reaches 0.85"
     assert ((cs >= 0.85) & ~same).sum() == 0, "cross-label pair above threshold"
     assert (same & (cs < 0.85)).sum() > 0, "threshold does no work within labels"
+
+
+def test_bm25_df_cap_drops_stopword_postings(spark):
+    """max_df_frac guard (VERDICT r3 item 8): a stopword query term would
+    carry O(N) postings into scoring with ~zero idf; the cap drops its
+    postings once df is known, the kept-postings relation stays bounded,
+    and the remaining terms score EXACTLY as if the stopword weren't in
+    the query."""
+    from confluence2md_spark.operators.retrieval import bm25_postings, bm25_topk
+
+    n = 200
+    rows = [(i, "the common filler " + ("rare gem " if i % 40 == 0 else "plain words ")) for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = spark.createDataFrame([("the",), ("rare",)], ["term"])
+
+    uncapped = bm25_postings(docs, terms).count()
+    capped = bm25_postings(docs, terms, max_df_frac=0.5).count()
+    assert uncapped == n + n // 40        # 'the' in every doc + 'rare' in 5
+    assert capped == n // 40              # stopword postings gone
+    assert capped <= 0.5 * n              # the bound the cap guarantees
+
+    # scores under the cap == scores of the query without the stopword
+    with_cap = {
+        (r["q"], r["doc_id"]): r["score_micros"]
+        for r in bm25_topk(docs, [(1, "the rare")], max_df_frac=0.5).collect()
+    }
+    no_stop = {
+        (r["q"], r["doc_id"]): r["score_micros"]
+        for r in bm25_topk(docs, [(1, "rare")]).collect()
+    }
+    assert with_cap == no_stop and len(with_cap) == n // 40
+
+    # all-stopword query under the cap -> empty result, not O(N^2) work
+    assert bm25_topk(docs, [(1, "the")], max_df_frac=0.5).count() == 0

@@ -196,6 +196,55 @@ def test_streaming_sessionize_late_event_merges_into_open_session(spark, tmp_pat
     assert (r["session_end"].hour, r["session_end"].minute) == (9, 25)
 
 
+def test_streaming_sessionize_coalesces_too_old_run(spark, tmp_path):
+    """Several too-old late events within gap_seconds of each other in one
+    batch must emit as ONE late session, as batch semantics would group
+    them (ADVICE r3: each was emitted as its own singleton); a too-old
+    event beyond the gap still starts its own late session."""
+    from confluence2md_spark.streaming.incremental import run_streaming_sessionize
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    from datetime import datetime as dt
+
+    def drop(rows, mode):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.mode(mode).parquet(src)
+
+    # batch 1: open session starts at 12:00
+    drop([(1, dt(2025, 1, 1, 12, 0), 1, "a", 1.0, "{}")], "overwrite")
+    run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800).awaitTermination(120)
+
+    # batch 2: three too-old events — 08:00 and 08:20 are within the gap of
+    # each other (one late session), 05:00 is isolated (its own session);
+    # plus an in-gap extension of the open session at 12:10.
+    drop(
+        [(2, dt(2025, 1, 1, 8, 0), 1, "a", 1.0, "{}"),
+         (3, dt(2025, 1, 1, 8, 20), 1, "a", 1.0, "{}"),
+         (4, dt(2025, 1, 1, 5, 0), 1, "a", 1.0, "{}"),
+         (5, dt(2025, 1, 1, 12, 10), 1, "a", 1.0, "{}")],
+        "append",
+    )
+    run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800).awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    got = {
+        ((r["session_start"].hour, r["session_start"].minute),
+         (r["session_end"].hour, r["session_end"].minute), r["n_events"])
+        for r in rows
+    }
+    assert got == {((5, 0), (5, 0), 1), ((8, 0), (8, 20), 2)}
+
+    # batch 3: close the open session — it kept both its events
+    drop([(6, dt(2025, 1, 1, 18, 0), 1, "a", 1.0, "{}")], "append")
+    run_streaming_sessionize(spark, src, out, ckpt, gap_seconds=1800).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    closed = [r for r in rows if r["session_start"].hour == 12]
+    assert len(closed) == 1 and closed[0]["n_events"] == 2
+
+
 def test_streaming_dedup_matches_batch_survivor_set(spark, sf_dir, tmp_path):
     """Stream-drained exact-dedup survivors == the batch survivor CONTENT
     set on the same drops, and cross-batch duplicates are suppressed by
