@@ -20,6 +20,7 @@ Parity rules used throughout (so value-hashes match):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -896,6 +897,24 @@ def _bm25_topk_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-merges BPE (functions/bpe.py): merges learned from the
+    corpus word histogram (one distributed agg + bounded driver training),
+    applied in Arrow batches. 24 merges on the 31-word synthetic vocabulary
+    leaves frequent words whole and rare words split — fertility does real
+    work. Not SQL-expressible (iterative merge learning) → bounded check
+    recomputes merges AND encodings with an independent naive trainer."""
+    from confluence2md_spark.functions.bpe import bpe_encode_stats, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=24)
+    return (
+        bpe_encode_stats(docs, merges)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation decision (composes verified pieces): exact-dedup
     survivor pick + quality/token thresholds -> per-lang kept-doc and
@@ -1029,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf,
         "text_token_stats": _text_tokens,
         "text_bpe_tokens": _text_bpe_tokens,
+        "text_bpe_trained": _text_bpe_trained,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
@@ -1052,7 +1072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "q5_nation_revenue": _q5_nation_revenue,
-        "customers_no_orders": _customers_no_orders,
         "parts_in_lineitem_semi": _parts_in_lineitem_semi,
         "window_top_order_per_customer": _window_top_order_per_customer,
         "window_running_customer_totals": _window_running_customer_totals,
@@ -1072,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still exact-oracle-checked by scripts/check_contract.py each run)
         "top_parts_by_quantity": _top_parts_by_quantity,
         "distinct_priorities": _distinct_priorities,
+        "customers_no_orders": _customers_no_orders,
         "kg_output_names": _kg_output_names,
         "kg_pages_titles": _kg_pages_titles,
         "kg_links_to": _kg_links_to,
@@ -1783,8 +1803,75 @@ def _check_approx_distinct_bound(spark: SparkSession, sf_dir: str, con) -> dict:
     }
 
 
+def _check_bpe_trained(spark: SparkSession, sf_dir: str, con) -> dict:
+    """text_bpe_trained vs an INDEPENDENT naive implementation: the check
+    re-learns merges with a from-scratch trainer (pair counts recomputed
+    from scratch each iteration — no shared code with the indexed
+    production trainer) over the DuckDB-read corpus, replays them
+    sequentially in training order (vs the operator's rank-greedy
+    application — the two formulations must coincide), and compares every
+    per-doc row exactly."""
+    rows = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+
+    hist: dict[str, int] = {}
+    for _, text in rows:
+        for w in (text or "").lower().split():
+            hist[w] = hist.get(w, 0) + 1
+
+    END = "</w>"
+    words = {w: list(w) + [END] for w in hist}
+    merges = []
+    for _ in range(24):
+        pc: dict[tuple, int] = {}
+        for w, seq in words.items():
+            c = hist[w]
+            for a, b in zip(seq, seq[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        if pc[best] <= 0:
+            break
+        merges.append(best)
+        for w, seq in words.items():
+            out, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and (seq[j], seq[j + 1]) == best:
+                    out.append(seq[j] + seq[j + 1])
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            words[w] = out
+
+    expect = {}
+    for doc_id, text in rows:
+        toks = (text or "").lower().split()
+        n_bpe = sum(len(words[w]) for w in toks) if toks else 0
+        fert = math.floor(n_bpe / len(toks) * 1_000_000) if toks else 0
+        expect[doc_id] = (len(toks), n_bpe, fert)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["fertility_micros"])
+        for r in queries()["text_bpe_trained"](spark, sf_dir).collect()
+    }
+    mismatches = [d for d in expect if got.get(d) != expect[d]]
+    ferts = [v[2] for v in got.values() if v[0] > 0]
+    nontrivial = ferts and min(ferts) < max(ferts)  # fertility discriminates
+    return {
+        "pass": not mismatches and set(got) == set(expect) and bool(nontrivial),
+        "n_docs": len(got),
+        "mismatches": len(mismatches),
+        "fert_min_micros": min(ferts) if ferts else None,
+        "fert_max_micros": max(ferts) if ferts else None,
+        "bound": "exact == independent naive trainer + sequential replay; "
+        "fertility non-constant",
+    }
+
+
 def bounded_checks() -> dict[str, Callable]:
     return {
+        "text_bpe_trained": _check_bpe_trained,
         "dedup_minhash_pairs": _check_minhash_bound,
         "dedup_simhash_pairs": _check_simhash_bound,
         "ann_lsh_topk": _check_ann_lsh_bound,
