@@ -464,10 +464,16 @@ def _top_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against the URGENT subset (a plain no-orders anti-join is
+    vacuous on the synthetic data — every customer has orders — and a
+    0 == 0 contract row proves nothing; ~11% of customers lack an URGENT
+    order, so this row carries real evidence)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -1013,6 +1019,72 @@ def _mm_image_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(media).orderBy("doc_id")
 
 
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of an integer column (WAV fields are LE; F.hex is
+    BE) — per-byte shiftright + lpad, assembled lowest byte first."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.shiftright(col.cast("bigint"), 8 * i) % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+def _mm_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted round-trip for the REAL audio header parser (same design as
+    mm_image_header_meta): plant (sample_rate, channels, bits, n_samples)
+    from doc_id, construct byte-exact WAV (even doc_id) / FLAC (odd)
+    headers JVM-side, and require decode_audio_meta to parse the planted
+    values back OUT of the bytes. Oracle states the ground truth."""
+    from confluence2md_spark.operators.multimodal import decode_audio_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sr = (
+        F.element_at(
+            F.array(*[F.lit(v) for v in (8000, 16000, 22050, 44100, 48000)]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+    ).cast("bigint")
+    ch = (F.col("doc_id") % 2 + 1).cast("bigint")
+    sample_bytes = (F.col("doc_id") % 3 + 1).cast("bigint")  # 1|2|3 bytes
+    bits = F.lit(8).cast("bigint") * sample_bytes
+    n_samples = (F.col("doc_id") % 1000 + 1).cast("bigint")
+    data_sz = n_samples * ch * sample_bytes
+    byte_rate = sr * ch * sample_bytes
+    wav_hex = F.concat(
+        F.lit("52494646"),                       # "RIFF"
+        _le_hex(F.lit(36) + data_sz, 4),         # riff size
+        F.lit("57415645666d742010000000"),       # "WAVEfmt " + fmt size 16
+        F.lit("0100"),                           # PCM
+        _le_hex(ch, 2),
+        _le_hex(sr, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(ch * sample_bytes, 2),           # block align
+        _le_hex(bits, 2),
+        F.lit("64617461"),                       # "data"
+        _le_hex(data_sz, 4),
+    )
+    packed = (
+        F.shiftleft(sr, 44)
+        + F.shiftleft(ch - 1, 41)
+        + F.shiftleft(bits - 1, 36)
+        + n_samples
+    )
+    flac_hex = F.concat(
+        F.lit("664c614380000022"),               # "fLaC" + last|STREAMINFO, len 34
+        F.lit("10001000000000000000"),           # block sizes 4096, frame sizes 0
+        F.lpad(F.hex(packed), 16, "0"),          # sr|ch-1|bits-1|n_samples
+        F.lit("00" * 16),                        # MD5 placeholder
+    )
+    media = docs.select(
+        "doc_id",
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, wav_hex).otherwise(flac_hex)
+        ).alias("payload"),
+    )
+    return decode_audio_meta(media).orderBy("doc_id")
+
+
 # ----------------------------------------------------------------- entry --
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1058,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_meta": _mm_binary_meta,
         "mm_decode_stub": _mm_decode_stub,
         "mm_image_header_meta": _mm_image_header,
+        "mm_audio_header_meta": _mm_audio_header,
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,
         "dedup_exact": _dedup_exact,
@@ -1075,7 +1148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_in_lineitem_semi": _parts_in_lineitem_semi,
         "window_top_order_per_customer": _window_top_order_per_customer,
         "window_running_customer_totals": _window_running_customer_totals,
-        "rollup_returnflag_status": _rollup_returnflag_status,
         "cube_returnflag_status": _cube_returnflag_status,
         "stats_extendedprice": _stats_extendedprice,
         "setops_fulfilled_vs_open": _setops_fulfilled_vs_open,
@@ -1090,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
         "top_parts_by_quantity": _top_parts_by_quantity,
+        "rollup_returnflag_status": _rollup_returnflag_status,
         "distinct_priorities": _distinct_priorities,
         "customers_no_orders": _customers_no_orders,
         "kg_output_names": _kg_output_names,
@@ -1345,7 +1418,8 @@ GROUP BY p_partkey, p_name
 ORDER BY total_qty DESC, p_partkey ASC LIMIT 20""",
         "customers_no_orders": """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 ORDER BY c_custkey""",
         "parts_in_lineitem_semi": """
 SELECT p_partkey, p_name FROM part
@@ -1550,6 +1624,20 @@ SELECT doc_id,
        CAST(doc_id % 1000 + 16 AS INT) AS width,
        CAST(doc_id % 777 + 16 AS INT) AS height,
        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM documents ORDER BY doc_id""",
+        # Same planted-value design for audio: Spark constructs byte-exact
+        # WAV/FLAC headers and must parse the planted metadata back out.
+        "mm_audio_header_meta": """
+SELECT doc_id,
+       CAST(([8000, 16000, 22050, 44100, 48000])[CAST(doc_id % 5 + 1 AS INT)] AS INT)
+         AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INT) AS channels,
+       CAST(8 * (doc_id % 3 + 1) AS INT) AS bits_per_sample,
+       CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples,
+       CAST((doc_id % 1000 + 1) * 1000
+            // ([8000, 16000, 22050, 44100, 48000])[CAST(doc_id % 5 + 1 AS INT)]
+            AS BIGINT) AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format
 FROM documents ORDER BY doc_id""",
         "mm_frame_sample": f"""
 WITH p AS (

@@ -104,6 +104,101 @@ def _decode_meta(payload: bytes) -> tuple[int, int, str]:
     return _parse_image_header(payload) or _fake_decode(payload)
 
 
+def _parse_audio_header(p: bytes) -> tuple[int, int, int, int, str] | None:
+    """Real (sample_rate, channels, bits_per_sample, n_samples, fmt) from
+    WAV (RIFF chunk walk to `fmt ` + `data`) or FLAC (STREAMINFO bit-unpack)
+    header bytes — pure stdlib, no codec, same design as
+    `_parse_image_header`. Header-only: the data chunk's DECLARED size is
+    trusted (a 100-TB scan sniffs the first KB of each object, it does not
+    read audio payloads to count samples). None = unrecognized (caller
+    falls back to the labeled fake)."""
+    if p[:4] == b"RIFF" and len(p) >= 12 and p[8:12] == b"WAVE":
+        i, n = 12, len(p)
+        sr = ch = bits = data_sz = None
+        while i + 8 <= n:
+            cid = p[i : i + 4]
+            sz = int.from_bytes(p[i + 4 : i + 8], "little")
+            if cid == b"fmt " and sz >= 16 and i + 8 + 16 <= n:
+                ch = int.from_bytes(p[i + 10 : i + 12], "little")
+                sr = int.from_bytes(p[i + 12 : i + 16], "little")
+                bits = int.from_bytes(p[i + 22 : i + 24], "little")
+            elif cid == b"data":
+                data_sz = sz
+            if sr is not None and data_sz is not None:
+                break
+            i += 8 + sz + (sz & 1)  # chunks are word-aligned (RIFF spec)
+        if sr and ch and bits and data_sz is not None:
+            block_align = ch * bits // 8
+            n_samples = data_sz // block_align if block_align else 0
+            return sr, ch, bits, n_samples, "wav"
+        return None
+    if p[:4] == b"fLaC" and len(p) >= 8 + 34:
+        # first metadata block must be STREAMINFO (type 0, 34 bytes)
+        if p[4] & 0x7F != 0 or int.from_bytes(p[5:8], "big") < 34:
+            return None
+        info = p[8 : 8 + 34]
+        # bytes 10..17: sample_rate(20) | channels-1(3) | bits-1(5) | total(36)
+        packed = int.from_bytes(info[10:18], "big")
+        sr = packed >> 44
+        ch = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        n_samples = packed & ((1 << 36) - 1)
+        if sr == 0:
+            return None
+        return sr, ch, bits, n_samples, "flac"
+    return None
+
+
+def _fake_audio_meta(p: bytes) -> tuple[int, int, int, int, str]:
+    """Deterministic fake audio metadata (STUB fallback for payloads with
+    no recognized header — mirrors `_fake_decode`)."""
+    d = hashlib.sha256(p).digest()
+    sr = [8000, 16000, 22050, 44100, 48000][d[0] % 5]
+    ch = 1 + d[1] % 2
+    bits = 8 * (1 + d[2] % 3)
+    n_samples = 1 + int.from_bytes(d[3:6], "big") % 480_000
+    return sr, ch, bits, n_samples, "fake"
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """(doc_id, sample_rate, channels, bits_per_sample, n_samples,
+    duration_ms, format) via mapInPandas over binary payloads.
+
+    WAV/FLAC payloads get REAL header-parsed metadata (stdlib byte parsing —
+    no codec needed); other payloads use the deterministic fake.
+    duration_ms is integer floor(n_samples*1000/sample_rate) so the value is
+    oracle-exact across engines."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [
+                _parse_audio_header(p if p is not None else b"")
+                or _fake_audio_meta(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [m[0] for m in meta],
+                    "channels": [m[1] for m in meta],
+                    "bits_per_sample": [m[2] for m in meta],
+                    "n_samples": [m[3] for m in meta],
+                    "duration_ms": [
+                        m[3] * 1000 // m[0] if m[0] else 0 for m in meta
+                    ],
+                    "format": [m[4] for m in meta],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, sample_rate int, channels int, bits_per_sample int, "
+            "n_samples long, duration_ms long, format string"
+        ),
+    )
+
+
 def decode_image_meta(media: DataFrame, real: bool = False) -> DataFrame:
     """(doc_id, width, height, format) via mapInPandas over binary payloads.
 

@@ -436,6 +436,77 @@ def test_image_header_parse_real_png_jpeg_gif_bytes():
     assert _fake_decode(b"plain text payload")[2] in ("png", "jpeg", "webp")
 
 
+def test_parse_audio_header_real_bytes():
+    """WAV bytes produced by the stdlib `wave` writer (an independent
+    producer — not our own packer) and a hand-built FLAC STREAMINFO parse
+    to the exact planted metadata; corrupt/foreign payloads -> None."""
+    import io
+    import struct
+    import wave
+
+    from confluence2md_spark.operators.multimodal import (
+        _fake_audio_meta,
+        _parse_audio_header,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00" * (4 * 441))  # 441 stereo 16-bit frames
+    assert _parse_audio_header(buf.getvalue()) == (44100, 2, 16, 441, "wav")
+
+    # WAV with an extra chunk BEFORE fmt (odd-size -> word-aligned skip)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    data = b"data" + struct.pack("<I", 8000)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    wav2 = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + junk + fmt + data
+    assert _parse_audio_header(wav2) == (8000, 1, 8, 8000, "wav")
+
+    # FLAC STREAMINFO: 48000 Hz, 2ch, 24-bit, 96000 samples
+    packed = (48000 << 44) | (1 << 41) | (23 << 36) | 96000
+    flac = (
+        b"fLaC" + b"\x80\x00\x00\x22"
+        + b"\x10\x00\x10\x00" + b"\x00" * 6
+        + struct.pack(">Q", packed) + b"\x00" * 16
+    )
+    assert _parse_audio_header(flac) == (48000, 2, 24, 96000, "flac")
+
+    assert _parse_audio_header(b"plain text") is None
+    assert _parse_audio_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert _parse_audio_header(flac[:20]) is None
+    assert _fake_audio_meta(b"x")[4] == "fake"
+
+
+def test_decode_audio_meta_mixes_real_headers_and_fake(spark):
+    """Spark operator: header-parsed metadata for real WAV bytes, the
+    labeled fake for others, exact integer duration_ms."""
+    import io
+    import wave
+
+    from confluence2md_spark.operators.multimodal import decode_audio_meta
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00" * (2 * 24000))  # 1.5 s mono
+    rows = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"not audio")], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: (
+            r["sample_rate"], r["channels"], r["bits_per_sample"],
+            r["n_samples"], r["duration_ms"], r["format"],
+        )
+        for r in decode_audio_meta(rows).collect()
+    }
+    assert got[1] == (16000, 1, 16, 24000, 1500, "wav")
+    assert got[2][5] == "fake" and got[2][4] == got[2][3] * 1000 // got[2][0]
+
+
 def test_decode_image_meta_mixes_real_headers_and_fake(spark):
     """The Spark operator returns header-parsed dims for real image bytes
     and fake dims for everything else, in the same batch."""
