@@ -46,6 +46,7 @@ from confluence2md_spark.operators.dedup import (
     ngram_jaccard_sql_duck,
     simhash_near_dup_pairs,
 )
+from confluence2md_spark.operators import curation
 from confluence2md_spark.operators.asof import asof_join
 from confluence2md_spark.operators.graph import pagerank_micros, pagerank_sql_duck
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
@@ -921,6 +922,53 @@ def _text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py): the synthetic
+    'benchmark' is an 8-token window (tokens 3..10) of every 37th document
+    — derivable identically in both engines — so real gram overlaps exist
+    by construction and the hit counts are exact."""
+    from confluence2md_spark.functions.textstats import tokens_col
+    from confluence2md_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.array_join(F.slice(tokens_col(F.col("text")), 3, 8), " ").alias("text")
+    )
+    return (
+        decontaminate(docs, bench, n=5, min_hits=1)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample (operators/curation.py): portable
+    sha256-threshold keys, exact integer compare — zero shuffles."""
+    from confluence2md_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 250_000, "de": 500_000, "fr": 750_000, "zh": 100_000}
+    return (
+        stratified_sample(docs, rates, default_micros=1_000_000)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing offsets via the two-pass distributed prefix
+    sum (operators/curation.py) — checked bit-exact against DuckDB's
+    single-node window cumsum."""
+    from confluence2md_spark.operators.curation import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pack_chunks(docs, context_len=64)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation decision (composes verified pieces): exact-dedup
     survivor pick + quality/token thresholds -> per-lang kept-doc and
@@ -1127,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25_topk,
         "bm25_topk_dfcap": _bm25_topk_dfcap,
         "corpus_curation": _corpus_curation,
+        "curation_decontaminate": _curation_decontaminate,
+        "curation_stratified_sample": _curation_stratified_sample,
+        "curation_pack_chunks": _curation_pack_chunks,
         "mm_binary_meta": _mm_binary_meta,
         "mm_decode_stub": _mm_decode_stub,
         "mm_image_header_meta": _mm_image_header,
@@ -1145,14 +1196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "q5_nation_revenue": _q5_nation_revenue,
-        "parts_in_lineitem_semi": _parts_in_lineitem_semi,
-        "window_top_order_per_customer": _window_top_order_per_customer,
         "window_running_customer_totals": _window_running_customer_totals,
         "cube_returnflag_status": _cube_returnflag_status,
         "stats_extendedprice": _stats_extendedprice,
         "setops_fulfilled_vs_open": _setops_fulfilled_vs_open,
         "approx_distinct_customers": _approx_distinct_customers,
-        "events_hourly": _events_hourly,
         "events_sliding": _events_sliding,
         "events_sessionize": _events_sessionize,
         "events_json": _events_json,
@@ -1163,6 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still exact-oracle-checked by scripts/check_contract.py each run)
         "top_parts_by_quantity": _top_parts_by_quantity,
         "rollup_returnflag_status": _rollup_returnflag_status,
+        "parts_in_lineitem_semi": _parts_in_lineitem_semi,
+        "window_top_order_per_customer": _window_top_order_per_customer,
+        "events_hourly": _events_hourly,
         "distinct_priorities": _distinct_priorities,
         "customers_no_orders": _customers_no_orders,
         "kg_output_names": _kg_output_names,
@@ -1587,6 +1638,27 @@ SELECT lang, count(*) AS n_docs_kept, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_
 FROM surv
 WHERE score_micros >= 150000 AND n_tokens >= 20
 GROUP BY lang ORDER BY lang""",
+        # mirrors _curation_decontaminate: benchmark = 8-token window of
+        # every 37th doc; gram overlap counted on the string grams (Spark
+        # counts hashed grams — equality of counts is the collision-free
+        # contract, same as dedup_ngram_jaccard)
+        "curation_decontaminate": curation.decontaminate_sql_duck(
+            bench_sql=(
+                "SELECT array_to_string(list_slice("
+                "regexp_split_to_array(trim(lower(text)), '\\s+'), 3, 10), ' ')"
+                " AS text FROM documents WHERE doc_id % 37 = 0"
+            ),
+            n=5,
+            min_hits=1,
+        )
+        + "\nORDER BY doc_id",
+        "curation_stratified_sample": curation.stratified_sample_sql_duck(
+            {"en": 250_000, "de": 500_000, "fr": 750_000, "zh": 100_000},
+            default_micros=1_000_000,
+        )
+        + "\nORDER BY doc_id",
+        "curation_pack_chunks": curation.pack_chunks_sql_duck(context_len=64)
+        + "\nORDER BY doc_id",
         "embedding_near_dup": embedding_near_dup_sql_duck(
             emb=f"({planted_cluster_sql_duck()}) _planted", threshold=0.85
         )
