@@ -50,6 +50,7 @@ from confluence2md_spark.operators import curation
 from confluence2md_spark.operators.asof import asof_join
 from confluence2md_spark.operators.graph import pagerank_micros, pagerank_sql_duck
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
+from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.multimodal import (
     attach_binary_payload,
     decode_image_meta,
@@ -291,6 +292,18 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return pagerank_micros(links, iters=5, topk=20)
+
+
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/triangles.py) over the
+    canonical links_to edge set — per-node participation + exact-integer
+    local clustering coefficient, hash-exact vs a DuckDB join oracle."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return triangle_participation(links)
 
 
 def _kg_unresolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_component_sizes": _kg_component_sizes,
         "kg_edges_canonical": _kg_edges_canonical,
         "kg_pagerank": _kg_pagerank,
+        "kg_triangles": _kg_triangles,
         "kg_unresolved_links": _kg_unresolved_links,
         "kg_repo_skew_census": _kg_repo_skew_census,
         # training-data operators (driver mandate — least self-evident first)
@@ -1203,12 +1217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_customers": _approx_distinct_customers,
         "events_sliding": _events_sliding,
         "events_sessionize": _events_sessionize,
-        "events_json": _events_json,
         "events_asof_purchase_view": _events_asof,
         "events_value_quantiles": _events_quantiles,
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "events_json": _events_json,
         "top_parts_by_quantity": _top_parts_by_quantity,
         "rollup_returnflag_status": _rollup_returnflag_status,
         "parts_in_lineitem_semi": _parts_in_lineitem_semi,
@@ -1344,6 +1358,37 @@ ORDER BY n_links DESC, obj ASC LIMIT 10""",
             iters=5,
             topk=20,
         ),
+        "kg_triangles": f"""
+WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
+und AS (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM canon_links WHERE subj <> obj
+),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n
+),
+e AS (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS s,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS t,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dt
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+),
+tri AS (
+  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+  FROM e e1
+  JOIN e e2 ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+  JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t
+),
+pt AS (
+  SELECT n AS node, count(*) AS n_tri
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY n
+)
+SELECT pt.node, pt.n_tri, deg.d AS degree,
+       (2 * pt.n_tri * 1000000) // (deg.d * (deg.d - 1)) AS cc_micros
+FROM pt JOIN deg ON deg.n = pt.node
+ORDER BY n_tri DESC, node""",
         "kg_unresolved_links": f"""
 WITH {_LINKS_CTE}
 SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_page_sql('o')}
