@@ -51,6 +51,11 @@ from confluence2md_spark.operators.asof import asof_join
 from confluence2md_spark.operators.graph import pagerank_micros, pagerank_sql_duck
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
+from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
+from confluence2md_spark.operators.repetition import (
+    repetition_signals,
+    repetition_sql_duck,
+)
 from confluence2md_spark.operators.multimodal import (
     attach_binary_payload,
     decode_image_meta,
@@ -304,6 +309,20 @@ def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return triangle_participation(links)
+
+
+def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous-peel k-core (operators/kcore.py) of the canonical
+    links_to graph; k=3 peels 51 of 406 sf0.01 nodes (k=4 peels everything
+    — the cascade empties the graph), so both branches are non-vacuous.
+    The operator RAISES if not converged within max_rounds, so matching
+    the 12-round unrolled DuckDB twin is exact, never truncated."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return kcore(links, k=3, max_rounds=12)
 
 
 def _kg_unresolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,6 +901,12 @@ def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_language(_t(spark, sf_dir, "documents"))
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level repetition signals (operators/repetition.py):
+    exact-integer micros; default caps split sf0.01 401 keep / 99 drop."""
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_cluster_census(_t(spark, sf_dir, "documents"))
 
@@ -1157,7 +1182,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness driver records the FIRST 50 entries
     # of this dict (CORRECTNESS_r03.json held exactly positions 1-50).  The
-    # registry holds 64 queries, so 14 must sit past the window.  Per
+    # registry holds 67 queries, so 17 must sit past the window.  Per
     # VERDICT r3 item 1, the window holds the queries whose correctness is
     # least self-evident (ANN, text, BM25, corpus curation, multimodal,
     # anything changed this round); the 14 rotated past the window are
@@ -1174,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_canonical": _kg_edges_canonical,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
+        "kg_kcore": _kg_kcore,
         "kg_unresolved_links": _kg_unresolved_links,
         "kg_repo_skew_census": _kg_repo_skew_census,
         # training-data operators (driver mandate — least self-evident first)
@@ -1186,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
+        "text_repetition": _text_repetition,
         "bm25_topk": _bm25_topk,
         "bm25_topk_dfcap": _bm25_topk_dfcap,
         "corpus_curation": _corpus_curation,
@@ -1209,19 +1236,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational surface (SURVEY.md §2.J)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
-        "q5_nation_revenue": _q5_nation_revenue,
         "window_running_customer_totals": _window_running_customer_totals,
         "cube_returnflag_status": _cube_returnflag_status,
         "stats_extendedprice": _stats_extendedprice,
         "setops_fulfilled_vs_open": _setops_fulfilled_vs_open,
         "approx_distinct_customers": _approx_distinct_customers,
-        "events_sliding": _events_sliding,
         "events_sessionize": _events_sessionize,
         "events_asof_purchase_view": _events_asof,
         "events_value_quantiles": _events_quantiles,
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "q5_nation_revenue": _q5_nation_revenue,
+        "events_sliding": _events_sliding,
         "events_json": _events_json,
         "top_parts_by_quantity": _top_parts_by_quantity,
         "rollup_returnflag_status": _rollup_returnflag_status,
@@ -1389,6 +1416,9 @@ SELECT pt.node, pt.n_tri, deg.d AS degree,
        (2 * pt.n_tri * 1000000) // (deg.d * (deg.d - 1)) AS cc_micros
 FROM pt JOIN deg ON deg.n = pt.node
 ORDER BY n_tri DESC, node""",
+        "kg_kcore": f"""
+WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
+{kcore_sql_duck("canon_links", k=3, rounds=12)}""",
         "kg_unresolved_links": f"""
 WITH {_LINKS_CTE}
 SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_page_sql('o')}
@@ -1714,6 +1744,7 @@ GROUP BY lang ORDER BY lang""",
         "text_quality": quality_stats_sql_duck(),
         "text_fingerprint": fingerprint_sql_duck(),
         "text_langid": predict_language_sql_duck(),
+        "text_repetition": repetition_sql_duck(),
         "mm_binary_meta": """
 SELECT doc_id, 'image/fake' AS media_type,
        octet_length(encode(text)) AS n_bytes,

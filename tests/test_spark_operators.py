@@ -1201,3 +1201,119 @@ def test_triangles_empty_on_bipartite_graph(spark):
     out = triangle_participation(edges)
     assert out.count() == 0
     assert out.columns == ["node", "n_tri", "degree", "cc_micros"]
+
+
+def test_kcore_hand_graph(spark):
+    """K4 with a dangling path: the path cascade-peels at k=2, K4 survives
+    with in-core degree 3; k=4 empties the graph (K4 is only a 3-core)."""
+    from confluence2md_spark.operators.kcore import kcore
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("c", "e"), ("e", "f")]
+    edges = spark.createDataFrame(k4 + tail, ["subj", "obj"])
+
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert kcore(edges, k=3).count() == 4
+    assert kcore(edges, k=4).count() == 0
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    """A 10-node path peels only from the ends: the k=2 core is empty but
+    needs ~5 synchronous rounds — and max_rounds=2 must raise, not
+    silently return the truncated (wrong, non-empty) edge set."""
+    import pytest as _pytest
+
+    from confluence2md_spark.operators.kcore import kcore
+
+    path = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    edges = spark.createDataFrame(path, ["subj", "obj"])
+    assert kcore(edges, k=2, max_rounds=12).count() == 0
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, k=2, max_rounds=2)
+
+
+def test_kcore_matches_duckdb_twin_on_random_graph(spark):
+    """Spark fixpoint peel == 12-round unrolled DuckDB twin, bit-exact,
+    on a seeded random graph (same twin the contract oracle uses)."""
+    import random
+
+    import duckdb
+
+    from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
+
+    rnd = random.Random(7)
+    nodes = [f"v{i:02d}" for i in range(40)]
+    pairs = sorted({tuple(sorted(rnd.sample(nodes, 2))) for _ in range(130)})
+    edges = spark.createDataFrame(pairs, ["subj", "obj"])
+    got = [(r["node"], r["core_degree"]) for r in kcore(edges, k=3).collect()]
+    assert got, "seed sanity: the 3-core must be non-empty"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw (subj VARCHAR, obj VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", pairs)
+    want = con.execute(
+        "WITH base AS (SELECT subj, obj FROM raw),\n"
+        + kcore_sql_duck("base", k=3, rounds=12)
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_repetition_hand_computed(spark):
+    """Signals on hand-computable docs: exact integer micros."""
+    from confluence2md_spark.operators.repetition import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "solo"), (2, "w x y z")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+
+    r0 = got[0]  # tokens a,a,a,b; grams "a a","a a","a b"
+    assert r0["n_tok"] == 4
+    assert r0["dup_word_micros"] == (4 - 2) * 1_000_000 // 4
+    assert r0["top_word_micros"] == 3 * 1_000_000 // 4
+    assert r0["dup_2gram_micros"] == (3 - 2) * 1_000_000 // 3
+    assert r0["keep"] == 0  # top_word 750000 > cap
+
+    r1 = got[1]  # one token: no grams, all-unique
+    assert (r1["n_tok"], r1["dup_word_micros"], r1["dup_2gram_micros"]) == (1, 0, 0)
+    assert r1["top_word_micros"] == 1_000_000 and r1["keep"] == 0
+
+    r2 = got[2]  # all-distinct 4 tokens
+    assert r2["dup_word_micros"] == 0 and r2["dup_2gram_micros"] == 0
+    assert r2["top_word_micros"] == 250_000 and r2["keep"] == 0
+    # a long low-repetition doc IS kept
+    long_doc = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(40)))], ["doc_id", "text"]
+    )
+    assert repetition_signals(long_doc).collect()[0]["keep"] == 1
+
+
+def test_repetition_matches_duckdb_twin(spark):
+    """Spark distributed aggregation == DuckDB list-lambda twin, bit-exact,
+    on seeded word-soup docs (the two engines use structurally different
+    algorithms — groupBy/window vs per-row list ops)."""
+    import random
+
+    import duckdb
+
+    from confluence2md_spark.operators.repetition import (
+        repetition_signals,
+        repetition_sql_duck,
+    )
+
+    rnd = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 60))))
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in repetition_signals(docs).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(repetition_sql_duck()).fetchall()
+    assert got == [tuple(w) for w in want]
