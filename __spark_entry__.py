@@ -52,6 +52,19 @@ from confluence2md_spark.operators.graph import pagerank_micros, pagerank_sql_du
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
+from confluence2md_spark.operators.pii import (
+    pii_signals,
+    pii_sql_duck,
+    synthetic_pii_expr_sql,
+)
+from confluence2md_spark.operators.dupspans import (
+    dup_span_signals,
+    dup_span_sql_duck,
+)
+from confluence2md_spark.operators.containment import (
+    containment_pairs,
+    containment_sql_duck,
+)
 from confluence2md_spark.operators.repetition import (
     repetition_signals,
     repetition_sql_duck,
@@ -907,6 +920,32 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def _text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect/redact (operators/pii.py). The sf corpora contain no
+    natural PII, so the contract input augments documents.text with
+    deterministic doc_id-derived PII via ONE SQL expression evaluated
+    identically by both engines (the non-vacuous-evidence rule,
+    VERDICT r3 item 2) — counts, lengths and redacted sha256 then state
+    bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(synthetic_pii_expr_sql()).alias("text")
+    )
+    return pii_signals(docs)
+
+
+def _text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 4-gram span fractions
+    (operators/dupspans.py); default cap keeps 443/500 at sf0.01."""
+    return dup_span_signals(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators/containment.py):
+    inverted-index candidates + exact verify; 50 directed rows at
+    sf0.01's planted duplicates."""
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_cluster_census(_t(spark, sf_dir, "documents"))
 
@@ -1182,7 +1221,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness driver records the FIRST 50 entries
     # of this dict (CORRECTNESS_r03.json held exactly positions 1-50).  The
-    # registry holds 67 queries, so 17 must sit past the window.  Per
+    # registry holds 77 queries, so 27 must sit past the window.  Per
     # VERDICT r3 item 1, the window holds the queries whose correctness is
     # least self-evident (ANN, text, BM25, corpus curation, multimodal,
     # anything changed this round); the 14 rotated past the window are
@@ -1213,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_repetition": _text_repetition,
+        "text_pii": _text_pii,
+        "text_dup_spans": _text_dup_spans,
         "bm25_topk": _bm25_topk,
         "bm25_topk_dfcap": _bm25_topk_dfcap,
         "corpus_curation": _corpus_curation,
@@ -1228,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_survivors": _dedup_survivors,
         "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_containment": _dedup_containment,
         "dedup_clusters": _dedup_clusters,
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
@@ -1235,11 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _embed_near_dup_lsh,
         # relational surface (SURVEY.md §2.J)
         "q1_pricing_summary": _q1_pricing_summary,
-        "q3_top_orders": _q3_top_orders,
-        "window_running_customer_totals": _window_running_customer_totals,
         "cube_returnflag_status": _cube_returnflag_status,
         "stats_extendedprice": _stats_extendedprice,
-        "setops_fulfilled_vs_open": _setops_fulfilled_vs_open,
         "approx_distinct_customers": _approx_distinct_customers,
         "events_sessionize": _events_sessionize,
         "events_asof_purchase_view": _events_asof,
@@ -1248,6 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
         "q5_nation_revenue": _q5_nation_revenue,
+        "q3_top_orders": _q3_top_orders,
+        "window_running_customer_totals": _window_running_customer_totals,
+        "setops_fulfilled_vs_open": _setops_fulfilled_vs_open,
         "events_sliding": _events_sliding,
         "events_json": _events_json,
         "top_parts_by_quantity": _top_parts_by_quantity,
@@ -1687,6 +1729,7 @@ SELECT lang, count(*) AS n_docs FROM (
   FROM documents
 ) WHERE rn = 1 GROUP BY lang ORDER BY lang""",
         "dedup_ngram_jaccard": ngram_jaccard_sql_duck() + "\nORDER BY src, dst",
+        "dedup_containment": containment_sql_duck(),
         "dedup_clusters": ngram_cluster_census_sql_duck(),
         "bm25_topk": bm25_sql_duck() + "\nORDER BY q, rank",
         "bm25_topk_dfcap": bm25_sql_duck(
@@ -1745,6 +1788,14 @@ GROUP BY lang ORDER BY lang""",
         "text_fingerprint": fingerprint_sql_duck(),
         "text_langid": predict_language_sql_duck(),
         "text_repetition": repetition_sql_duck(),
+        "text_pii": pii_sql_duck(
+            docs_rel=(
+                "(SELECT doc_id, "
+                + synthetic_pii_expr_sql()
+                + " AS text FROM documents) aug"
+            )
+        ),
+        "text_dup_spans": dup_span_sql_duck(),
         "mm_binary_meta": """
 SELECT doc_id, 'image/fake' AS media_type,
        octet_length(encode(text)) AS n_bytes,

@@ -71,6 +71,26 @@ def main() -> int:
         ("events_asof_purchase_view",
          "as-of join as union + carry-forward window: ONE exchange on the "
          "key, no range-join explosion"),
+        ("text_repetition",
+         "repetition signals: one tokenize explode feeding a "
+         "(doc_id, token)-keyed aggregation branch and a window-lead 2-gram "
+         "branch — shuffle volume = token stream, no per-doc quadratic work"),
+        ("curation_decontaminate",
+         "benchmark gram hashes broadcast; probe is a map-side semi-join on "
+         "exploded doc grams with partial aggregation — doc text never in "
+         "an Exchange"),
+        ("text_pii",
+         "PII detect/redact: map-only — regex extract/replace + sha2 inside "
+         "one codegen stage, pruned (doc_id, text) scan, no Exchange except "
+         "the presentation sort"),
+        ("text_dup_spans",
+         "duplicated-span signals: grams collapse to xxhash64 at scan time "
+         "so every Exchange carries (doc_id, bigint); df join-back reuses "
+         "the gram-df aggregation's partitioning"),
+        ("dedup_containment",
+         "containment near-dup: inverted-index co-occurrence candidates "
+         "(df-capped) + exact verify join driven by the candidate set — "
+         "gram arrays never in the candidate-generation Exchange"),
     ]
     out = [
         "# Physical plan evidence (captured from .explain(\"formatted\") "

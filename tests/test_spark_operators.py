@@ -1317,3 +1317,179 @@ def test_repetition_matches_duckdb_twin(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     want = con.execute(repetition_sql_duck()).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_pii_hand_computed(spark):
+    """Counts and byte-exact redaction on hand-written PII docs."""
+    import hashlib
+
+    from confluence2md_spark.operators.pii import pii_signals
+
+    rows = [
+        (0, "mail bob@x.org or bob.jr@sub.x.co.uk call 555-123-4567"),
+        (1, "host 192.168.0.1 and 10.0.255.3 no mail"),
+        (2, "clean text only"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_signals(docs).collect()}
+
+    assert (got[0]["n_email"], got[0]["n_phone"], got[0]["n_ipv4"]) == (2, 1, 0)
+    assert got[0]["n_pii"] == 3
+    red0 = "mail <EMAIL> or <EMAIL> call <PHONE>"
+    assert got[0]["red_len"] == len(red0)
+    assert got[0]["red_sha"] == hashlib.sha256(red0.encode()).hexdigest()
+
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (0, 0, 2)
+    red1 = "host <IP> and <IP> no mail"
+    assert got[1]["red_sha"] == hashlib.sha256(red1.encode()).hexdigest()
+
+    assert got[2]["n_pii"] == 0 and got[2]["red_len"] == len(rows[2][1])
+
+
+def test_pii_matches_duckdb_twin(spark):
+    """Java-regex Spark pipeline == RE2 DuckDB twin bit-for-bit, including
+    the deterministic synthetic-PII augmentation used by the contract
+    query (regex dialect parity is the thing being pinned)."""
+    import duckdb
+    import random
+
+    from pyspark.sql import functions as F
+
+    from confluence2md_spark.operators.pii import (
+        pii_signals,
+        pii_sql_duck,
+        synthetic_pii_expr_sql,
+    )
+
+    rnd = random.Random(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "no-match", "a.b"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 20))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", F.expr(synthetic_pii_expr_sql()).alias("text")
+    )
+    got = [tuple(r) for r in pii_signals(docs).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    aug = (
+        "(SELECT doc_id, " + synthetic_pii_expr_sql() + " AS text FROM documents) aug"
+    )
+    want = con.execute(pii_sql_duck(docs_rel=aug)).fetchall()
+    assert got == [tuple(w) for w in want]
+    # non-vacuous: every PII class fires somewhere in the fixture
+    assert sum(r[1] for r in got) > 0  # emails
+    assert sum(r[2] for r in got) > 0  # phones
+    assert sum(r[3] for r in got) > 0  # ipv4
+
+
+def test_dup_spans_hand_computed(spark):
+    """Cross-doc duplicated 4-gram windows on hand-computable docs."""
+    from confluence2md_spark.operators.dupspans import dup_span_signals
+
+    rows = [
+        (0, "a b c d e f"),      # windows: abcd bcde cdef
+        (1, "z a b c d y"),      # windows: zabc abcd bcdy -> shares abcd
+        (2, "p q r s"),          # unique single window
+        (3, "x y"),              # < 4 tokens: zero windows
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dup_span_signals(docs).collect()}
+
+    assert (got[0]["n_win"], got[0]["dup_win"]) == (3, 1)
+    assert got[0]["dup_span_micros"] == 1_000_000 // 3
+    assert (got[1]["n_win"], got[1]["dup_win"]) == (3, 1)
+    assert (got[2]["n_win"], got[2]["dup_win"]) == (1, 0)
+    assert (got[3]["n_win"], got[3]["dup_win"], got[3]["dup_span_micros"]) == (
+        0,
+        0,
+        0,
+    )
+    assert got[3]["keep"] == 1
+
+
+def test_dup_spans_matches_duckdb_twin(spark):
+    """Spark hash-keyed df join == DuckDB exact-string twin bit-for-bit
+    (also pins that 64-bit gram hashing is collision-free here)."""
+    import duckdb
+    import random
+
+    from confluence2md_spark.operators.dupspans import (
+        dup_span_signals,
+        dup_span_sql_duck,
+    )
+
+    rnd = random.Random(59)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(2, 40))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in dup_span_signals(docs).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(dup_span_sql_duck()).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert any(r[2] > 0 for r in got)  # some duplicated window exists
+
+
+def test_containment_hand_computed(spark):
+    """A short doc embedded in a long one is caught in the contained
+    direction only; unrelated docs produce no rows."""
+    from confluence2md_spark.operators.containment import containment_pairs
+
+    inner = "one two three four five six seven"
+    outer = (
+        "pad1 pad2 pad3 pad4 " + inner + " tail1 tail2 tail3 tail4 tail5 "
+        "tail6 tail7 tail8 tail9 tail10 tail11 tail12 tail13 tail14"
+    )
+    rows = [
+        (0, inner),
+        (1, outer),
+        (2, "totally different words with no overlap at all here friend"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in containment_pairs(docs).collect()]
+
+    # all 5 of inner's 3-grams appear in outer -> cont(0 -> 1) = 1.0;
+    # outer has 29 grams so cont(1 -> 0) is far below threshold.
+    assert got == [(0, 1, 1_000_000)]
+
+
+def test_containment_matches_duckdb_twin(spark):
+    """Inverted-index candidates + exact verify == DuckDB twin, including
+    planted containment and near-containment pairs."""
+    import duckdb
+    import random
+
+    from confluence2md_spark.operators.containment import (
+        containment_pairs,
+        containment_sql_duck,
+    )
+
+    rnd = random.Random(73)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(20):
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(8, 30))]
+        rows.append((i, " ".join(words)))
+    # plant: doc 20/21 contained in padded copies of docs 0/1
+    for j, src in ((20, 0), (21, 1)):
+        rows.append((j, rows[src][1] + " extra" + str(j) + " more" + str(j)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in containment_pairs(docs).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(containment_sql_duck()).fetchall()
+    assert got == [tuple(w) for w in want]
+    # the planted pairs are found in the contained direction
+    srcs = {(r[0], r[1]) for r in got}
+    assert (0, 20) in srcs and (1, 21) in srcs
