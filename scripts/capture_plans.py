@@ -91,6 +91,10 @@ def main() -> int:
          "containment near-dup: inverted-index co-occurrence candidates "
          "(df-capped) + exact verify join driven by the candidate set — "
          "gram arrays never in the candidate-generation Exchange"),
+        ("nb_quality_classifier",
+         "NB classifier: token-keyed count shuffle trains; the model "
+         "relation re-enters as a BroadcastExchange into the scoring "
+         "join; per-doc integer sums with partial aggregation"),
     ]
     out = [
         "# Physical plan evidence (captured from .explain(\"formatted\") "

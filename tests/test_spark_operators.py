@@ -1493,3 +1493,84 @@ def test_containment_matches_duckdb_twin(spark):
     # the planted pairs are found in the contained direction
     srcs = {(r[0], r[1]) for r in got}
     assert (0, 20) in srcs and (1, 21) in srcs
+
+
+def test_nb_classifier_hand_computed(spark):
+    """NB scores on a 4-doc corpus verified against a pure-Python
+    reference computation (same floor-log-micros arithmetic)."""
+    import math
+
+    from confluence2md_spark.operators.classifier import nb_quality_scores
+
+    rows = [
+        (0, "good good fine", 1),
+        (1, "good fine", 1),
+        (2, "bad awful bad", 0),
+        (3, "awful good", 0),
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows], ["doc_id", "text"])
+    labels = spark.createDataFrame([(i, l) for i, t, l in rows], ["doc_id", "label"])
+    got = {r["doc_id"]: r for r in nb_quality_scores(docs, labels).collect()}
+
+    # python mirror
+    from collections import Counter
+
+    cpos, cneg = Counter(), Counter()
+    for _, t, l in rows:
+        (cpos if l else cneg).update(t.split())
+    vocab = set(cpos) | set(cneg)
+    npos, nneg, v = sum(cpos.values()), sum(cneg.values()), len(vocab)
+
+    def lp(c, n):
+        return math.floor(math.log((c + 1) / n) * 1_000_000)
+
+    prior_pos = math.floor(math.log(2 / 4) * 1_000_000)
+    prior_neg = prior_pos
+    for i, t, _ in rows:
+        sp = prior_pos + sum(lp(cpos[w], npos + v) for w in t.split())
+        sn = prior_neg + sum(lp(cneg[w], nneg + v) for w in t.split())
+        assert got[i]["score_pos_micros"] == sp
+        assert got[i]["score_neg_micros"] == sn
+        assert got[i]["pred"] == (1 if sp > sn else 0)
+    # the classifier reproduces the training labels on this separable set
+    assert [got[i]["pred"] for i, _, _ in rows] == [l for _, _, l in rows]
+
+
+def test_nb_classifier_matches_duckdb_twin(spark):
+    """Spark distributed train+score == DuckDB twin bit-for-bit (pins the
+    StrictMath.log vs ln floor-micros parity on the NB value range)."""
+    import duckdb
+    import random
+
+    from pyspark.sql import functions as F
+
+    from confluence2md_spark.operators.classifier import (
+        nb_quality_scores,
+        nb_quality_sql_duck,
+    )
+
+    rnd = random.Random(97)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 30))), i % 3 != 0)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows], ["doc_id", "text"])
+    labels = spark.createDataFrame(
+        [(i, int(l)) for i, _, l in rows], ["doc_id", "label"]
+    )
+    got = [tuple(r) for r in nb_quality_scores(docs, labels).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(i, t) for i, t, _ in rows]
+    )
+    con.execute("CREATE TABLE lab (doc_id BIGINT, label BIGINT)")
+    con.executemany(
+        "INSERT INTO lab VALUES (?, ?)", [(i, int(l)) for i, _, l in rows]
+    )
+    want = con.execute(
+        nb_quality_sql_duck(labels_cte="SELECT doc_id, label FROM lab")
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
