@@ -48,7 +48,12 @@ from confluence2md_spark.operators.dedup import (
 )
 from confluence2md_spark.operators import curation
 from confluence2md_spark.operators.asof import asof_join
-from confluence2md_spark.operators.graph import pagerank_micros, pagerank_sql_duck
+from confluence2md_spark.operators.graph import (
+    pagerank_micros,
+    pagerank_sql_duck,
+    personalized_pagerank_micros,
+    personalized_pagerank_sql_duck,
+)
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
@@ -315,6 +320,28 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return pagerank_micros(links, iters=5, topk=20)
+
+
+_PPR_SEED_PREDICATE = "CAST(substr(page, 6) AS BIGINT) % 37 = 0"
+
+
+def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py) restarted on the
+    deterministic seed set (canonical page id % 37 == 0) — seed-based
+    neighborhood importance over the same canonical links_to graph,
+    hash-exact vs the unrolled-CTE twin."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    nodes = (
+        links.select(F.col("subj").alias("page"))
+        .unionByName(links.select(F.col("obj").alias("page")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.expr(_PPR_SEED_PREDICATE))
+    return personalized_pagerank_micros(links, seeds, iters=5, topk=20)
 
 
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,7 +1272,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness driver records the FIRST 50 entries
     # of this dict (CORRECTNESS_r03.json held exactly positions 1-50).  The
-    # registry holds 78 queries, so 28 must sit past the window.  Per
+    # registry holds 79 queries, so 29 must sit past the window.  Per
     # VERDICT r3 item 1, the window holds the queries whose correctness is
     # least self-evident (ANN, text, BM25, corpus curation, multimodal,
     # anything changed this round); the 14 rotated past the window are
@@ -1261,9 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_component_sizes": _kg_component_sizes,
         "kg_edges_canonical": _kg_edges_canonical,
         "kg_pagerank": _kg_pagerank,
+        "kg_ppr": _kg_ppr,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
-        "kg_unresolved_links": _kg_unresolved_links,
         "kg_repo_skew_census": _kg_repo_skew_census,
         # training-data operators (driver mandate — least self-evident first)
         "ann_brute_topk": _ann_brute,
@@ -1311,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
         "q5_nation_revenue": _q5_nation_revenue,
+        "kg_unresolved_links": _kg_unresolved_links,
         "q3_top_orders": _q3_top_orders,
         "cube_returnflag_status": _cube_returnflag_status,
         "window_running_customer_totals": _window_running_customer_totals,
@@ -1449,6 +1477,12 @@ SELECT obj, count(*) AS n_links FROM canon_links GROUP BY obj
 ORDER BY n_links DESC, obj ASC LIMIT 10""",
         "kg_pagerank": pagerank_sql_duck(
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            iters=5,
+            topk=20,
+        ),
+        "kg_ppr": personalized_pagerank_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            seeds_predicate=_PPR_SEED_PREDICATE,
             iters=5,
             topk=20,
         ),

@@ -145,3 +145,158 @@ def pagerank_sql_duck(
 SELECT page, rank_micros FROM r{iters}
 ORDER BY rank_micros DESC, page ASC LIMIT {topk}"""
     )
+
+
+def personalized_pagerank_micros(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    topk: int | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: restart mass goes only to `seeds` (a
+    DataFrame with a `page` column) instead of uniformly to every node —
+    the KG-navigation primitive ("what matters near THESE pages") used for
+    seed-based corpus expansion and entity-neighborhood curation.
+
+    Same exact-integer discipline as pagerank_micros, with the restart
+    vector scaled so total injected mass matches the uniform variant:
+        base(v) = (1-d)·1e6 · N DIV |S|   if v ∈ S else 0
+        init(v) = 1e6 · N DIV |S|          if v ∈ S else 0
+    N and |S| enter via a broadcast 1-row stats relation (no driver
+    collect). Dangling mass leaks, duplicates dropped — mirrored exactly
+    in the unrolled-CTE DuckDB twin. One node-id-keyed shuffle per
+    iteration; lineage localCheckpoint-ed every `checkpoint_every`."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("page"))
+        .unionByName(e.select(F.col("dst").alias("page")))
+        .distinct()
+        .persist()
+    )
+    base_rel = None
+    try:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        stats = (
+            nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                seeds.select("page")
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_seeds"))
+            )
+        )
+        base_rel = (
+            nodes.join(
+                seeds.select("page").distinct().withColumn("is_seed", F.lit(1)),
+                "page",
+                "left",
+            )
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "page",
+                F.when(
+                    F.col("is_seed") == 1,
+                    F.expr(f"{BASE_MICROS} * n_nodes DIV n_seeds"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("base_micros"),
+                F.when(
+                    F.col("is_seed") == 1,
+                    F.expr("1000000 * n_nodes DIV n_seeds"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("init_micros"),
+            )
+            .persist()
+        )
+        ranks = base_rel.select(
+            "page", F.col("init_micros").alias("rank_micros")
+        )
+        prev_ckpt: DataFrame | None = None
+        for i in range(iters):
+            contrib = (
+                e.join(ranks.withColumnRenamed("page", "src"), "src")
+                .join(outdeg, "src")
+                .select(
+                    F.col("dst").alias("page"),
+                    F.expr("rank_micros DIV d").alias("c"),
+                )
+            )
+            sums = contrib.groupBy("page").agg(F.sum("c").alias("c"))
+            ranks = base_rel.join(sums, "page", "left").select(
+                "page",
+                (
+                    F.col("base_micros")
+                    + F.expr(f"coalesce(c, 0) * {DAMPING_MICROS} DIV 1000000")
+                )
+                .cast("bigint")
+                .alias("rank_micros"),
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev_ckpt is not None:
+                    _release_local_checkpoint(prev_ckpt)
+                prev_ckpt = ranks
+        if topk is not None:
+            ranks = ranks.orderBy(F.desc("rank_micros"), F.asc("page")).limit(
+                topk
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            _release_local_checkpoint(prev_ckpt)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        if base_rel is not None:
+            base_rel.unpersist()
+    return ranks
+
+
+def personalized_pagerank_sql_duck(
+    edges_cte_body: str, seeds_predicate: str, iters: int = 5, topk: int = 20
+) -> str:
+    """DuckDB twin. `seeds_predicate` is a boolean SQL expression over the
+    `page` column selecting the seed set (evaluated on the node list, so
+    both engines derive seeds from the same rule)."""
+    parts = [
+        f"e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({edges_cte_body}))",
+        "nodes AS (SELECT src AS page FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        f"seeds AS (SELECT page FROM nodes WHERE {seeds_predicate})",
+        "stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM seeds) AS n_seeds)",
+        f"""base AS (
+  SELECT n.page,
+         CAST(CASE WHEN s.page IS NOT NULL
+              THEN {BASE_MICROS} * st.n_nodes // st.n_seeds ELSE 0 END AS BIGINT) AS base_micros,
+         CAST(CASE WHEN s.page IS NOT NULL
+              THEN 1000000 * st.n_nodes // st.n_seeds ELSE 0 END AS BIGINT) AS init_micros
+  FROM nodes n LEFT JOIN seeds s ON n.page = s.page CROSS JOIN stats st
+)""",
+        "r0 AS (SELECT page, init_micros AS rank_micros FROM base)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT b.page,
+         CAST(b.base_micros + COALESCE(s.c, 0) * {DAMPING_MICROS} // 1000000 AS BIGINT) AS rank_micros
+  FROM base b LEFT JOIN (
+    SELECT e.dst AS page, CAST(sum(r.rank_micros // o.d) AS BIGINT) AS c
+    FROM e JOIN r{i} r ON e.src = r.page JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON b.page = s.page
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT page, rank_micros FROM r{iters}
+ORDER BY rank_micros DESC, page ASC LIMIT {topk}"""
+    )

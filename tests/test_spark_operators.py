@@ -1574,3 +1574,63 @@ def test_nb_classifier_matches_duckdb_twin(spark):
         nb_quality_sql_duck(labels_cte="SELECT doc_id, label FROM lab")
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_personalized_pagerank_seed_concentration(spark):
+    """PPR on a two-community graph: restart on community-A seeds keeps
+    all mass in A; community B (unreachable from A) ranks 0. Exact-integer
+    arithmetic verified against a pure-Python mirror."""
+    from confluence2md_spark.operators.graph import personalized_pagerank_micros
+
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"), ("b1", "b2"), ("b2", "b1")],
+        ["subj", "obj"],
+    )
+    seeds = spark.createDataFrame([("a1",)], ["page"])
+    got = {
+        r["page"]: r["rank_micros"]
+        for r in personalized_pagerank_micros(edges, seeds, iters=5).collect()
+    }
+    assert got["b1"] == 0 and got["b2"] == 0
+
+    # python mirror: N=5, |S|=1, base(a1)=150000*5, init(a1)=1000000*5
+    ranks = {p: 0 for p in ("a1", "a2", "a3", "b1", "b2")}
+    ranks["a1"] = 5_000_000
+    base = {p: 0 for p in ranks}
+    base["a1"] = 150_000 * 5
+    out = {"a1": ["a2"], "a2": ["a3"], "a3": ["a1"], "b1": ["b2"], "b2": ["b1"]}
+    for _ in range(5):
+        sums = {p: 0 for p in ranks}
+        for u, vs in out.items():
+            for v in vs:
+                sums[v] += ranks[u] // len(vs)
+        ranks = {p: base[p] + sums[p] * 850_000 // 1_000_000 for p in ranks}
+    assert got == ranks
+
+
+def test_personalized_pagerank_deep_iters_bounded_plan(spark):
+    """iters=25 with checkpoint_every=5 stays exact (vs the python mirror)
+    — the lineage-truncation discipline ported from pagerank_micros."""
+    from confluence2md_spark.operators.graph import personalized_pagerank_micros
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 7}") for i in range(7)], ["subj", "obj"]
+    )
+    seeds = spark.createDataFrame([("n0",), ("n3",)], ["page"])
+    got = {
+        r["page"]: r["rank_micros"]
+        for r in personalized_pagerank_micros(
+            edges, seeds, iters=25, checkpoint_every=5
+        ).collect()
+    }
+    ranks = {f"n{i}": 0 for i in range(7)}
+    base = dict(ranks)
+    for s in ("n0", "n3"):
+        ranks[s] = 1_000_000 * 7 // 2
+        base[s] = 150_000 * 7 // 2
+    for _ in range(25):
+        sums = {p: 0 for p in ranks}
+        for i in range(7):
+            sums[f"n{(i + 1) % 7}"] += ranks[f"n{i}"] // 1
+        ranks = {p: base[p] + sums[p] * 850_000 // 1_000_000 for p in ranks}
+    assert got == ranks
