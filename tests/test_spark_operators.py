@@ -1634,3 +1634,65 @@ def test_personalized_pagerank_deep_iters_bounded_plan(spark):
             sums[f"n{(i + 1) % 7}"] += ranks[f"n{i}"] // 1
         ranks = {p: base[p] + sums[p] * 850_000 // 1_000_000 for p in ranks}
     assert got == ranks
+
+
+def test_winnowing_hand_computed(spark):
+    """Winnowing selection verified against a pure-Python mirror of the
+    algorithm (same polynomial hash, same leftmost-min rule)."""
+    from confluence2md_spark.operators.winnow import (
+        K_GRAM,
+        W_WINDOW,
+        winnow_fingerprints,
+    )
+
+    rows = [(0, "a b c d e f g h"), (1, "x y"), (2, "p q r s t u")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs).collect()
+    }
+
+    def phash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 2147483647
+        return h
+
+    want = set()
+    for i, t in rows:
+        toks = t.split(" ")
+        if len(toks) < K_GRAM + W_WINDOW - 1:
+            continue
+        hs = [
+            phash(" ".join(toks[j : j + K_GRAM]))
+            for j in range(len(toks) - K_GRAM + 1)
+        ]
+        for j in range(len(hs) - W_WINDOW + 1):
+            wnd = hs[j : j + W_WINDOW]
+            m = min(wnd)
+            want.add((i, j + wnd.index(m), m))
+    assert got == want and len(got) > 0
+    # doc 1 (too short for a full window) emits nothing
+    assert not any(d == 1 for d, _, _ in got)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The paper's guarantee: two docs sharing a token run of length
+    >= k + w - 1 share at least one fingerprint HASH."""
+    from confluence2md_spark.operators.winnow import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= 3 + 4 - 1
+    docs = spark.createDataFrame(
+        [
+            (0, "one two " + shared + " tail words here"),
+            (1, shared + " completely other suffix tokens"),
+            (2, "unrelated content with no overlap at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[1]) & by_doc.get(2, set())
