@@ -77,6 +77,8 @@ from confluence2md_spark.operators.classifier import (
 )
 from confluence2md_spark.operators.winnow import (
     winnow_fingerprints,
+    winnow_overlap_pairs,
+    winnow_overlap_sql_duck,
     winnow_sql_duck,
 )
 from confluence2md_spark.operators.repetition import (
@@ -982,6 +984,12 @@ def _text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS overlap report: pairs sharing >= 5 winnowed fingerprints (24
+    pairs at sf0.01 — the sketch-level view of the 25 containment pairs)."""
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-trained NB quality classifier (operators/classifier.py):
     weak labels from the deterministic quality rule at its sf0.01 median
@@ -1283,7 +1291,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness driver records the FIRST 50 entries
     # of this dict (CORRECTNESS_r03.json held exactly positions 1-50).  The
-    # registry holds 80 queries, so 30 must sit past the window.  Per
+    # registry holds 81 queries, so 31 must sit past the window.  Per
     # VERDICT r3 item 1, the window holds the queries whose correctness is
     # least self-evident (ANN, text, BM25, corpus curation, multimodal,
     # anything changed this round); the 14 rotated past the window are
@@ -1318,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_spans": _text_dup_spans,
         "nb_quality_classifier": _nb_quality,
         "text_winnowing": _text_winnow,
+        "text_winnow_overlap": _text_winnow_overlap,
         "bm25_topk": _bm25_topk,
         "bm25_topk_dfcap": _bm25_topk_dfcap,
         "corpus_curation": _corpus_curation,
@@ -1344,13 +1353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_extendedprice": _stats_extendedprice,
         "approx_distinct_customers": _approx_distinct_customers,
         "events_asof_purchase_view": _events_asof,
-        "events_value_quantiles": _events_quantiles,
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
         "q5_nation_revenue": _q5_nation_revenue,
         "kg_unresolved_links": _kg_unresolved_links,
         "events_sessionize": _events_sessionize,
+        "events_value_quantiles": _events_quantiles,
         "q3_top_orders": _q3_top_orders,
         "cube_returnflag_status": _cube_returnflag_status,
         "window_running_customer_totals": _window_running_customer_totals,
@@ -1868,6 +1877,7 @@ GROUP BY lang ORDER BY lang""",
         ),
         "text_dup_spans": dup_span_sql_duck(),
         "text_winnowing": winnow_sql_duck(),
+        "text_winnow_overlap": winnow_overlap_sql_duck(),
         "nb_quality_classifier": nb_quality_sql_duck(
             labels_cte=(
                 "SELECT doc_id, CAST(quality_score_micros >= "

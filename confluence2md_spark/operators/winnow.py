@@ -50,11 +50,14 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = K_GRAM,
     w: int = W_WINDOW,
+    ordered: bool = True,
 ) -> DataFrame:
     """(doc_id, pos, fp): winnowing-selected fingerprints, ordered by
     (doc_id, pos). `pos` is the 0-based gram index of the selected gram.
     Documents with fewer than k + w - 1 tokens (no full window) emit no
-    rows — mirrored by the twin's range() bounds."""
+    rows — mirrored by the twin's range() bounds. `ordered=False` skips
+    the terminal total order (driver arrival-order contract only — its
+    range-sampling job re-executes the plan, docs/SCALE.md trap)."""
     toks = F.split(F.col(text_col), " ")
     gram_str = (
         f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1), "
@@ -75,7 +78,7 @@ def winnow_fingerprints(
         .rowsBetween(Window.currentRow, w - 1)
     )
     n_win = Window.partitionBy("doc_id")
-    return (
+    out = (
         g.withColumn("sel", F.min(F.struct("h", "pos")).over(win))
         .withColumn("n_grams", F.count(F.lit(1)).over(n_win))
         # only full windows select (window starts 0 .. n_grams - w)
@@ -86,8 +89,8 @@ def winnow_fingerprints(
             F.col("sel.h").alias("fp"),
         )
         .distinct()
-        .orderBy("doc_id", "pos")
     )
+    return out.orderBy("doc_id", "pos") if ordered else out
 
 
 def winnow_sql_duck(
@@ -117,3 +120,64 @@ sel AS (
 )
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, CAST(s.fp AS BIGINT) AS fp
 FROM sel ORDER BY doc_id, pos"""
+
+
+MIN_SHARED_FPS = 5
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = K_GRAM,
+    w: int = W_WINDOW,
+    min_shared: int = MIN_SHARED_FPS,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(src, dst, n_shared): document pairs sharing >= min_shared winnowed
+    fingerprint hashes — the MOSS overlap report. Because fingerprints are
+    ~2/(w+1) of grams, this is the sketch-sized version of the all-grams
+    co-occurrence join (operators/containment.py): the same inverted-index
+    shape over a far smaller relation. Fingerprints with corpus df >
+    max_df are dropped before the self-join (the standard stopword-gram
+    cut, mirrored in the twin)."""
+    fps = (
+        winnow_fingerprints(docs, text_col, id_col, k, w, ordered=False)
+        .select(F.col("doc_id"), "fp")
+        .distinct()
+    )
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(df_counts.filter(F.col("df") <= max_df).select("fp"), "fp")
+    return (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .repartition(1)
+        .sortWithinPartitions("src", "dst")
+    )
+
+
+def winnow_overlap_sql_duck(
+    docs_rel: str = "documents",
+    k: int = K_GRAM,
+    w: int = W_WINDOW,
+    min_shared: int = MIN_SHARED_FPS,
+    max_df: int = 1000,
+) -> str:
+    return f"""
+WITH wfp AS ({winnow_sql_duck(docs_rel, k, w)}),
+fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+dfc AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}),
+rare AS (SELECT doc_id, fp FROM fps JOIN dfc USING (fp))
+SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY src, dst"""

@@ -1696,3 +1696,32 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
     assert not (by_doc[0] & by_doc[1]) & by_doc.get(2, set())
+
+
+def test_winnow_overlap_matches_duckdb_twin(spark):
+    """Spark fingerprint co-occurrence join == DuckDB twin on planted
+    overlapping docs; non-overlapping docs produce no pair."""
+    import duckdb
+    import random
+
+    from confluence2md_spark.operators.winnow import (
+        winnow_overlap_pairs,
+        winnow_overlap_sql_duck,
+    )
+
+    rnd = random.Random(11)
+    vocab = [f"v{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(25))) for i in range(12)
+    ]
+    # plant heavy overlap: doc 12 = doc 0 with a new tail
+    rows.append((12, rows[0][1] + " tail12 tail13 tail14"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in winnow_overlap_pairs(docs, min_shared=3).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(winnow_overlap_sql_duck(min_shared=3)).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert any(s == 0 and d == 12 for s, d, _ in got)
