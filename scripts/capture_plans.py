@@ -95,6 +95,10 @@ def main() -> int:
          "NB classifier: token-keyed count shuffle trains; the model "
          "relation re-enters as a BroadcastExchange into the scoring "
          "join; per-doc integer sums with partial aggregation"),
+        ("text_winnowing",
+         "winnowing: one posexplode of gram hashes + one per-doc window "
+         "pass (doc_id-keyed) — no self-joins; output bounded by the "
+         "2/(w+1) density guarantee"),
     ]
     out = [
         "# Physical plan evidence (captured from .explain(\"formatted\") "
