@@ -54,6 +54,10 @@ from confluence2md_spark.operators.graph import (
     personalized_pagerank_micros,
     personalized_pagerank_sql_duck,
 )
+from confluence2md_spark.operators.communities import (
+    label_propagation,
+    label_propagation_sql_duck,
+)
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
@@ -348,6 +352,19 @@ def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.filter(F.expr(_PPR_SEED_PREDICATE))
     return personalized_pagerank_micros(links, seeds, iters=5, topk=20)
+
+
+def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/communities.py) over the canonical links_to graph — the
+    full (page, community) assignment after 4 rounds, hash-exact vs the
+    unrolled-CTE DuckDB twin (max-count label, ties to smallest)."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return label_propagation(links, iters=4).orderBy("page")
 
 
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_canonical": _kg_edges_canonical,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
+        "kg_communities": _kg_communities,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
         "kg_repo_skew_census": _kg_repo_skew_census,
@@ -1349,13 +1367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embed_near_dup,
         "embedding_near_dup_lsh": _embed_near_dup_lsh,
         # relational surface (SURVEY.md §2.J)
-        "q1_pricing_summary": _q1_pricing_summary,
         "stats_extendedprice": _stats_extendedprice,
         "approx_distinct_customers": _approx_distinct_customers,
         "events_asof_purchase_view": _events_asof,
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "q1_pricing_summary": _q1_pricing_summary,
         "q5_nation_revenue": _q5_nation_revenue,
         "kg_unresolved_links": _kg_unresolved_links,
         "events_sessionize": _events_sessionize,
@@ -1506,6 +1524,10 @@ ORDER BY n_links DESC, obj ASC LIMIT 10""",
             seeds_predicate=_PPR_SEED_PREDICATE,
             iters=5,
             topk=20,
+        ),
+        "kg_communities": label_propagation_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            iters=4,
         ),
         "kg_triangles": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
