@@ -70,6 +70,10 @@ from confluence2md_spark.operators.dupspans import (
     dup_span_signals,
     dup_span_sql_duck,
 )
+from confluence2md_spark.operators.substrdup import (
+    duplicated_substring_spans,
+    duplicated_substring_spans_sql_duck,
+)
 from confluence2md_spark.operators.containment import (
     containment_pairs,
     containment_sql_duck,
@@ -994,6 +998,14 @@ def _text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_signals(_t(spark, sf_dir, "documents"))
 
 
+def _text_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated-substring spans >= 8 tokens
+    (operators/substrdup.py, the ExactSubstr primitive of Lee et al.
+    2022) via positional-gram diagonal chaining — hash-exact vs the
+    twin, which chains exact gram strings."""
+    return duplicated_substring_spans(_t(spark, sf_dir, "documents"))
+
+
 def _text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/winnow.py): MOSS local
     fingerprinting with the leftmost-min rule; ~20 fingerprints/doc at
@@ -1328,7 +1340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
-        "kg_repo_skew_census": _kg_repo_skew_census,
         # training-data operators (driver mandate — least self-evident first)
         "ann_brute_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
@@ -1342,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_pii": _text_pii,
         "text_dup_spans": _text_dup_spans,
+        "text_substr_spans": _text_substr_spans,
         "nb_quality_classifier": _nb_quality,
         "text_winnowing": _text_winnow,
         "text_winnow_overlap": _text_winnow_overlap,
@@ -1373,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "kg_repo_skew_census": _kg_repo_skew_census,
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_nation_revenue": _q5_nation_revenue,
         "kg_unresolved_links": _kg_unresolved_links,
@@ -1898,6 +1911,7 @@ GROUP BY lang ORDER BY lang""",
             )
         ),
         "text_dup_spans": dup_span_sql_duck(),
+        "text_substr_spans": duplicated_substring_spans_sql_duck(),
         "text_winnowing": winnow_sql_duck(),
         "text_winnow_overlap": winnow_overlap_sql_duck(),
         "nb_quality_classifier": nb_quality_sql_duck(
