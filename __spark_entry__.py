@@ -80,6 +80,8 @@ from confluence2md_spark.operators.containment import (
 )
 from confluence2md_spark.operators.classifier import (
     QUALITY_LABEL_THRESHOLD_MICROS,
+    nb_quality_calibration,
+    nb_quality_calibration_sql_duck,
     nb_quality_scores,
     nb_quality_sql_duck,
 )
@@ -1038,6 +1040,24 @@ def _nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality_scores(docs, labels)
 
 
+def _nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve for the NB classifier: 10 margin-rank bins via
+    the distributed global-rank operator (operators/ranking.py — range
+    shuffle + per-partition offsets, no single-partition window), rates
+    in exact floor-micros."""
+    docs = _t(spark, sf_dir, "documents")
+    labels = quality_stats(docs).select(
+        "doc_id",
+        (
+            F.col("quality_score_micros")
+            >= F.lit(QUALITY_LABEL_THRESHOLD_MICROS)
+        )
+        .cast("bigint")
+        .alias("label"),
+    )
+    return nb_quality_calibration(docs, labels)
+
+
 def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (operators/containment.py):
     inverted-index candidates + exact verify; 50 directed rows at
@@ -1355,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_spans": _text_dup_spans,
         "text_substr_spans": _text_substr_spans,
         "nb_quality_classifier": _nb_quality,
+        "nb_quality_calibration": _nb_calibration,
         "text_winnowing": _text_winnow,
         "text_winnow_overlap": _text_winnow_overlap,
         "bm25_topk": _bm25_topk,
@@ -1370,7 +1391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,
         "dedup_exact": _dedup_exact,
-        "dedup_survivors": _dedup_survivors,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_containment": _dedup_containment,
         "dedup_clusters": _dedup_clusters,
@@ -1385,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "dedup_survivors": _dedup_survivors,
         "kg_repo_skew_census": _kg_repo_skew_census,
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_nation_revenue": _q5_nation_revenue,
@@ -1915,6 +1936,13 @@ GROUP BY lang ORDER BY lang""",
         "text_winnowing": winnow_sql_duck(),
         "text_winnow_overlap": winnow_overlap_sql_duck(),
         "nb_quality_classifier": nb_quality_sql_duck(
+            labels_cte=(
+                "SELECT doc_id, CAST(quality_score_micros >= "
+                f"{QUALITY_LABEL_THRESHOLD_MICROS} AS BIGINT) AS label "
+                f"FROM ({quality_stats_sql_duck()}) qq"
+            )
+        ),
+        "nb_quality_calibration": nb_quality_calibration_sql_duck(
             labels_cte=(
                 "SELECT doc_id, CAST(quality_score_micros >= "
                 f"{QUALITY_LABEL_THRESHOLD_MICROS} AS BIGINT) AS label "

@@ -138,6 +138,95 @@ def nb_quality_scores(
     )
 
 
+def nb_quality_calibration(
+    docs: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration curve for the NB classifier: rank documents by score
+    margin (pos - neg, ties by doc_id), cut the ranking into `n_bins`
+    equal-width rank bins, and report per bin the predicted-positive rate
+    next to the weak-label positive rate — the standard reliability
+    diagnostic a curation stack runs before trusting a learned filter
+    (FineWeb-Edu publishes exactly this curve for its classifier).
+
+    Binning uses operators/ranking.py's distributed global rank — NOT a
+    single-partition window — so the diagnostic itself survives corpus
+    scale. bin = 1 + (rn-1)*n_bins DIV n is pure integer arithmetic and
+    the rates are floor-micros, so every row is oracle-exact.
+
+    Returns (bin, n_docs, n_label_pos, n_pred_pos, label_rate_micros,
+    pred_rate_micros) ordered by bin.
+    """
+    from .ranking import global_row_number
+
+    scored = nb_quality_scores(
+        docs, labels, text_col=text_col, id_col=id_col
+    )
+    j = scored.join(labels.select("doc_id", "label"), "doc_id").withColumn(
+        "margin", F.col("score_pos_micros") - F.col("score_neg_micros")
+    )
+    ranked = global_row_number(j, ["margin", "doc_id"], rn_col="rn")
+    n_rel = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_rel))
+        .withColumn("bin", F.expr(f"1 + (rn - 1) * {n_bins} DIV n"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_label_pos"),
+            F.sum("pred").cast("bigint").alias("n_pred_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_label_pos",
+            "n_pred_pos",
+            F.expr("n_label_pos * 1000000 DIV n_docs").alias(
+                "label_rate_micros"
+            ),
+            F.expr("n_pred_pos * 1000000 DIV n_docs").alias(
+                "pred_rate_micros"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def nb_quality_calibration_sql_duck(
+    docs_rel: str = "documents",
+    labels_cte: str | None = None,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin: wraps the classifier twin as a subquery, re-joins the
+    label rule, and applies the identical rank-bin integer arithmetic
+    (row_number over (margin, doc_id) — tie-free because doc_id is)."""
+    inner = nb_quality_sql_duck(docs_rel=docs_rel, labels_cte=labels_cte)
+    return f"""
+WITH scored AS ({inner}),
+lab AS ({labels_cte}),
+j AS (
+  SELECT s.doc_id, s.pred, l.label,
+         s.score_pos_micros - s.score_neg_micros AS margin
+  FROM scored s JOIN lab l USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY margin, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM j
+),
+b AS (SELECT 1 + (rn - 1) * {n_bins} // n AS bin, label, pred FROM r)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(label) AS BIGINT) AS n_label_pos,
+       CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+       CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS label_rate_micros,
+       CAST(sum(pred) * 1000000 // count(*) AS BIGINT) AS pred_rate_micros
+FROM b GROUP BY bin ORDER BY bin"""
+
+
 def nb_quality_sql_duck(
     docs_rel: str = "documents", labels_cte: str | None = None
 ) -> str:
