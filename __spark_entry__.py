@@ -85,6 +85,7 @@ from confluence2md_spark.operators.classifier import (
     nb_quality_scores,
     nb_quality_sql_duck,
 )
+from confluence2md_spark.operators.ranking import select_top_fraction
 from confluence2md_spark.operators.winnow import (
     winnow_fingerprints,
     winnow_overlap_pairs,
@@ -1058,6 +1059,35 @@ def _nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality_calibration(docs, labels)
 
 
+def _corpus_select_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30% corpus selection by NB classifier margin
+    (operators/ranking.py select_top_fraction): exact integer rank cut
+    over the distributed global rank, the FineWeb-style keep step after
+    scoring. Returns the selected (doc_id, margin, rn)."""
+    docs = _t(spark, sf_dir, "documents")
+    labels = quality_stats(docs).select(
+        "doc_id",
+        (
+            F.col("quality_score_micros")
+            >= F.lit(QUALITY_LABEL_THRESHOLD_MICROS)
+        )
+        .cast("bigint")
+        .alias("label"),
+    )
+    scored = nb_quality_scores(docs, labels).select(
+        "doc_id",
+        (F.col("score_pos_micros") - F.col("score_neg_micros")).alias(
+            "margin"
+        ),
+    )
+    sel = select_top_fraction(
+        scored.withColumn("neg_margin", -F.col("margin")),
+        ["neg_margin", "doc_id"],
+        keep_micros=300_000,
+    )
+    return sel.select("doc_id", "margin", "rn").orderBy("doc_id")
+
+
 def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (operators/containment.py):
     inverted-index candidates + exact verify; 50 directed rows at
@@ -1376,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_substr_spans": _text_substr_spans,
         "nb_quality_classifier": _nb_quality,
         "nb_quality_calibration": _nb_calibration,
+        "corpus_select_top30": _corpus_select_top,
         "text_winnowing": _text_winnow,
         "text_winnow_overlap": _text_winnow_overlap,
         "bm25_topk": _bm25_topk,
@@ -1393,7 +1424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_containment": _dedup_containment,
-        "dedup_clusters": _dedup_clusters,
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "embedding_near_dup": _embed_near_dup,
@@ -1405,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "dedup_clusters": _dedup_clusters,
         "dedup_survivors": _dedup_survivors,
         "kg_repo_skew_census": _kg_repo_skew_census,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1948,6 +1979,26 @@ GROUP BY lang ORDER BY lang""",
                 f"{QUALITY_LABEL_THRESHOLD_MICROS} AS BIGINT) AS label "
                 f"FROM ({quality_stats_sql_duck()}) qq"
             )
+        ),
+        "corpus_select_top30": (
+            "WITH scored AS ("
+            + nb_quality_sql_duck(
+                labels_cte=(
+                    "SELECT doc_id, CAST(quality_score_micros >= "
+                    f"{QUALITY_LABEL_THRESHOLD_MICROS} AS BIGINT) AS label "
+                    f"FROM ({quality_stats_sql_duck()}) qq"
+                )
+            )
+            + """),
+j AS (SELECT doc_id, score_pos_micros - score_neg_micros AS margin FROM scored),
+r AS (
+  SELECT doc_id, margin,
+         row_number() OVER (ORDER BY -margin, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM j
+)
+SELECT doc_id, CAST(margin AS BIGINT) AS margin, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn * 1000000 <= n * 300000 ORDER BY doc_id"""
         ),
         "mm_binary_meta": """
 SELECT doc_id, 'image/fake' AS media_type,

@@ -84,3 +84,35 @@ def global_row_number(
     finally:
         d.unpersist()
     return out
+
+
+def select_top_fraction(
+    df: DataFrame,
+    order_cols: list[str],
+    keep_micros: int,
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keep the best `keep_micros`/1e6 fraction of rows under ORDER BY
+    `order_cols` (tie-free; put the best rows FIRST — e.g. rank by
+    negated score) — the corpus-selection step the learned-filter stacks
+    run after scoring ("keep the top 30% by classifier margin",
+    FineWeb-Edu's threshold cut). The cut is exact integer arithmetic on
+    the distributed global rank:
+
+        keep  iff  rn * 1_000_000 <= n * keep_micros
+
+    so the selected set is bit-stated by a twin row_number query — no
+    float thresholds, no approximate percentile boundary. One range
+    shuffle + a broadcast 1-row count; no single-task stage."""
+    ranked = global_row_number(
+        df, order_cols, rn_col=rn_col, num_partitions=num_partitions
+    )
+    n_rel = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_rel))
+        .filter(
+            F.col(rn_col) * F.lit(1_000_000) <= F.col("_n") * F.lit(keep_micros)
+        )
+        .drop("_n")
+    )

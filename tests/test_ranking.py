@@ -45,6 +45,26 @@ def test_global_rank_empty_input(spark):
     assert global_row_number(df, ["v", "id"]).count() == 0
 
 
+def test_select_top_fraction_exact_cut(spark):
+    """Keeps exactly floor(n * p) best rows under the stated order —
+    checked against a driver-side sort at several fractions, including
+    ones that don't divide n evenly."""
+    from confluence2md_spark.operators.ranking import select_top_fraction
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(-1000, 1000)) for i in range(337)]
+    df = spark.createDataFrame(rows, ["id", "score"]).repartition(5)
+    by_best = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for keep_micros in (300_000, 500_000, 999_999, 1_000_000):
+        sel = select_top_fraction(
+            df.withColumn("neg", -F.col("score")), ["neg", "id"], keep_micros
+        )
+        got = sorted(r["id"] for r in sel.collect())
+        n_keep = len([1 for k in range(1, 338) if k * 10**6 <= 337 * keep_micros])
+        want = sorted(r[0] for r in by_best[:n_keep])
+        assert got == want
+
+
 def test_nb_calibration_bins_partition_corpus(spark, sf_dir):
     """Bins tile the ranking: sizes sum to N, every bin non-empty at 10
     bins over the sf0.001 corpus, rates are exact integer micros, and
