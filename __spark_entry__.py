@@ -57,6 +57,8 @@ from confluence2md_spark.operators.graph import (
 from confluence2md_spark.operators.communities import (
     label_propagation,
     label_propagation_sql_duck,
+    modularity_micros,
+    modularity_sql_duck,
 )
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
@@ -372,6 +374,18 @@ def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return label_propagation(links, iters=4).orderBy("page")
+
+
+def _kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Newman modularity of the LPA partition
+    (operators/communities.py) — per-community intra-edge mass vs
+    degree-mass expectation in flooring micros, bit-exact vs the twin."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return modularity_micros(links, iters=4)
 
 
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,10 +1398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sha256_invariant": _kg_sha256,
         "kg_canon_map": _kg_canon_map,
         "kg_component_sizes": _kg_component_sizes,
-        "kg_edges_canonical": _kg_edges_canonical,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
         "kg_communities": _kg_communities,
+        "kg_modularity": _kg_modularity,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
         # training-data operators (driver mandate — least self-evident first)
@@ -1435,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "kg_edges_canonical": _kg_edges_canonical,
         "dedup_clusters": _dedup_clusters,
         "dedup_survivors": _dedup_survivors,
         "kg_repo_skew_census": _kg_repo_skew_census,
@@ -1591,6 +1606,10 @@ ORDER BY n_links DESC, obj ASC LIMIT 10""",
             topk=20,
         ),
         "kg_communities": label_propagation_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            iters=4,
+        ),
+        "kg_modularity": modularity_sql_duck(
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
             iters=4,
         ),

@@ -103,6 +103,133 @@ def label_propagation(
     return labels
 
 
+def modularity_micros(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 4,
+) -> DataFrame:
+    """Newman modularity of the label-propagation partition, in exact
+    integer micros — the standard "are these communities real structure"
+    metric, reported per community so the contract states every row:
+
+        q_micros(c) = m_c·1e6 DIV m  −  (d_c·1e6 DIV 2m)² DIV 1e6
+
+    (m = undirected simple edge count, m_c = intra-community edges,
+    d_c = summed degree). The two flooring DIVs lose sub-micro precision
+    identically in both engines — parity is the contract, not the last
+    decimal. Overflow headroom: d_c·1e6 <= 2m·1e6 stays under int64 to
+    m ~ 4.6e12 edges, and the squared term is <= 1e12 by construction
+    (the r3-advice overflow lesson applied up front).
+
+    Scale shape: the LPA rounds dominate; the metric itself is two
+    node-keyed joins of the assignment onto the edge list, a degree
+    groupBy, and a broadcast 1-row m relation.
+
+    Returns (community, n_nodes, m_intra, d_sum, q_micros) ordered by
+    community.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    try:
+        comm = label_propagation(und, src="a", dst="b", iters=iters)
+        m_rel = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        deg = (
+            und.select(F.col("a").alias("page"))
+            .unionByName(und.select(F.col("b").alias("page")))
+            .groupBy("page")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        per_comm = (
+            deg.join(comm, "page")
+            .groupBy("community")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.sum("d").cast("bigint").alias("d_sum"),
+            )
+        )
+        ca = comm.select(
+            F.col("page").alias("a"), F.col("community").alias("comm_a")
+        )
+        cb = comm.select(
+            F.col("page").alias("b"), F.col("community").alias("comm_b")
+        )
+        intra = (
+            und.join(ca, "a")
+            .join(cb, "b")
+            .filter(F.col("comm_a") == F.col("comm_b"))
+            .groupBy(F.col("comm_a").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("m_intra"))
+        )
+        out = (
+            per_comm.join(intra, "community", "left")
+            .crossJoin(F.broadcast(m_rel))
+            .select(
+                "community",
+                "n_nodes",
+                F.coalesce("m_intra", F.lit(0)).cast("bigint").alias("m_intra"),
+                "d_sum",
+                F.expr(
+                    "CAST(coalesce(m_intra, 0) * 1000000 DIV m "
+                    "- (d_sum * 1000000 DIV (2 * m)) "
+                    "* (d_sum * 1000000 DIV (2 * m)) DIV 1000000 AS BIGINT)"
+                ).alias("q_micros"),
+            )
+            .orderBy("community")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+    return out
+
+
+def modularity_sql_duck(edges_cte_body: str, iters: int = 4) -> str:
+    """DuckDB twin: reuses the LPA twin as a subquery and applies the
+    identical flooring-integer modularity arithmetic."""
+    lpa = label_propagation_sql_duck(edges_cte_body, iters=iters)
+    return f"""
+WITH comm AS ({lpa}),
+und AS (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM ({edges_cte_body}) WHERE subj <> obj
+),
+mrel AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+deg AS (
+  SELECT page, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS page FROM und UNION ALL SELECT b FROM und)
+  GROUP BY page
+),
+per_comm AS (
+  SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.d) AS BIGINT) AS d_sum
+  FROM deg d JOIN comm c USING (page) GROUP BY c.community
+),
+intra AS (
+  SELECT ca.community, CAST(count(*) AS BIGINT) AS m_intra
+  FROM und u
+  JOIN comm ca ON u.a = ca.page
+  JOIN comm cb ON u.b = cb.page
+  WHERE ca.community = cb.community
+  GROUP BY ca.community
+)
+SELECT p.community, p.n_nodes,
+       CAST(coalesce(i.m_intra, 0) AS BIGINT) AS m_intra, p.d_sum,
+       CAST(coalesce(i.m_intra, 0) * 1000000 // mrel.m
+            - (p.d_sum * 1000000 // (2 * mrel.m))
+            * (p.d_sum * 1000000 // (2 * mrel.m)) // 1000000 AS BIGINT)
+         AS q_micros
+FROM per_comm p LEFT JOIN intra i ON p.community = i.community
+CROSS JOIN mrel
+ORDER BY p.community"""
+
+
 def label_propagation_sql_duck(edges_cte_body: str, iters: int = 4) -> str:
     """DuckDB twin: `edges_cte_body` yields (subj, obj); rounds are
     unrolled one CTE each (AS MATERIALIZED — DuckDB re-inlines plain

@@ -85,6 +85,55 @@ def test_lpa_deep_iteration_checkpoints_lineage(spark):
     assert cached_after <= cached_before + 1
 
 
+def test_modularity_matches_python_mirror(spark):
+    """modularity_micros equals a pure-Python mirror of the flooring
+    integer arithmetic on the hand graph, and the two cliques carry
+    positive modularity contribution (real structure)."""
+    from confluence2md_spark.operators.communities import modularity_micros
+
+    edges = spark.createDataFrame(_EDGES, ["subj", "obj"])
+    rows = {
+        r["community"]: (r["n_nodes"], r["m_intra"], r["d_sum"], r["q_micros"])
+        for r in modularity_micros(edges, iters=4).collect()
+    }
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in _EDGES if a != b})
+    labels = _python_lpa(_EDGES, 4)
+    m = len(und)
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    want: dict[str, tuple] = {}
+    for c in sorted(set(labels.values())):
+        members = {v for v, lb in labels.items() if lb == c}
+        m_c = sum(1 for a, b in und if a in members and b in members)
+        d_c = sum(deg[v] for v in members)
+        half = d_c * 1_000_000 // (2 * m)
+        q = m_c * 1_000_000 // m - half * half // 1_000_000
+        want[c] = (len(members), m_c, d_c, q)
+    assert rows == want
+    assert rows[labels["a1"]][3] > 0  # clique A is genuine structure
+    assert rows[labels["b1"]][3] > 0
+
+
+def test_modularity_duckdb_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from confluence2md_spark.operators.communities import (
+        modularity_micros,
+        modularity_sql_duck,
+    )
+
+    edges = spark.createDataFrame(_EDGES, ["subj", "obj"])
+    got = [tuple(r) for r in modularity_micros(edges, iters=4).collect()]
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in _EDGES)
+    sql = modularity_sql_duck(
+        f"SELECT * FROM (VALUES {vals}) AS t(subj, obj)", iters=4
+    )
+    twin = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == twin
+
+
 def test_lpa_duckdb_twin_same_assignment(spark):
     """The unrolled-CTE twin reproduces the exact assignment on the hand
     graph — including the oscillation-prone bridge structure — so the
