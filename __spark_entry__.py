@@ -53,6 +53,8 @@ from confluence2md_spark.operators.graph import (
     pagerank_sql_duck,
     personalized_pagerank_micros,
     personalized_pagerank_sql_duck,
+    weighted_pagerank_micros,
+    weighted_pagerank_sql_duck,
 )
 from confluence2md_spark.operators.communities import (
     label_propagation,
@@ -339,6 +341,20 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return pagerank_micros(links, iters=5, topk=20)
+
+
+def _kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py) with n_sources edge
+    multiplicity as mass weight — links asserted by more source pages
+    carry more rank; exact-integer, unrolled-CTE twin."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj", "n_sources")
+    )
+    return weighted_pagerank_micros(
+        links, weight="n_sources", iters=5, topk=20
+    )
 
 
 _PPR_SEED_PREDICATE = "CAST(substr(page, 6) AS BIGINT) % 37 = 0"
@@ -1396,9 +1412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline core (SURVEY.md §2.A-I) — end-to-end chain coverage
         "kg_detect_status": _kg_detect_status,
         "kg_sha256_invariant": _kg_sha256,
-        "kg_canon_map": _kg_canon_map,
         "kg_component_sizes": _kg_component_sizes,
         "kg_pagerank": _kg_pagerank,
+        "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_ppr": _kg_ppr,
         "kg_communities": _kg_communities,
         "kg_modularity": _kg_modularity,
@@ -1449,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated long-green staples
         # (three consecutive green rounds; transitively covered above and
         # still exact-oracle-checked by scripts/check_contract.py each run)
+        "kg_canon_map": _kg_canon_map,
         "kg_edges_canonical": _kg_edges_canonical,
         "dedup_clusters": _dedup_clusters,
         "dedup_survivors": _dedup_survivors,
@@ -1596,6 +1613,12 @@ SELECT obj, count(*) AS n_links FROM canon_links GROUP BY obj
 ORDER BY n_links DESC, obj ASC LIMIT 10""",
         "kg_pagerank": pagerank_sql_duck(
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            iters=5,
+            topk=20,
+        ),
+        "kg_pagerank_weighted": weighted_pagerank_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} "
+            "SELECT subj, obj, count(*) AS w FROM canon_links GROUP BY subj, obj",
             iters=5,
             topk=20,
         ),

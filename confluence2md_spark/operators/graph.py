@@ -147,6 +147,116 @@ ORDER BY rank_micros DESC, page ASC LIMIT {topk}"""
     )
 
 
+def weighted_pagerank_micros(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str = "w",
+    iters: int = 5,
+    topk: int | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank with integer edge weights (e.g. the canonical edge
+    table's n_sources multiplicity — a link asserted by more source
+    pages carries proportionally more mass):
+
+        contrib(u -> v) = rank(u) * w(u, v) DIV W(u)     (W = out-weight)
+        rank'(v)        = 150_000 + (Σ contrib) * 850_000 DIV 1_000_000
+
+    Same exact-integer discipline as pagerank_micros (DIV-only, dangling
+    mass leaks, bit-identical under any aggregation order); per-edge
+    multiplication keeps int64 headroom (rank ~1e6-scale × bounded
+    multiplicity). Duplicate (src, dst) rows are summed into one weighted
+    edge. One node-id-keyed shuffle per iteration; localCheckpoint
+    lineage discipline as the unweighted loop."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("page"))
+        .unionByName(e.select(F.col("dst").alias("page")))
+        .distinct()
+        .persist()
+    )
+    try:
+        outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+        ranks = nodes.select(
+            "page", F.lit(1_000_000).cast("bigint").alias("rank_micros")
+        )
+        prev_ckpt: DataFrame | None = None
+        for i in range(iters):
+            contrib = (
+                e.join(ranks.withColumnRenamed("page", "src"), "src")
+                .join(outw, "src")
+                .select(
+                    F.col("dst").alias("page"),
+                    F.expr("rank_micros * w DIV tw").alias("c"),
+                )
+            )
+            sums = contrib.groupBy("page").agg(F.sum("c").alias("c"))
+            ranks = nodes.join(sums, "page", "left").select(
+                "page",
+                (
+                    F.lit(BASE_MICROS)
+                    + F.expr(f"coalesce(c, 0) * {DAMPING_MICROS} DIV 1000000")
+                )
+                .cast("bigint")
+                .alias("rank_micros"),
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev_ckpt is not None:
+                    _release_local_checkpoint(prev_ckpt)
+                prev_ckpt = ranks
+        if topk is not None:
+            ranks = ranks.orderBy(F.desc("rank_micros"), F.asc("page")).limit(topk)
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            _release_local_checkpoint(prev_ckpt)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return ranks
+
+
+def weighted_pagerank_sql_duck(
+    edges_cte_body: str, iters: int = 5, topk: int = 20
+) -> str:
+    """DuckDB twin: `edges_cte_body` yields (subj, obj, w); identical
+    per-edge integer arithmetic, unrolled one CTE per iteration."""
+    parts = [
+        f"e AS (SELECT subj AS src, obj AS dst, CAST(sum(w) AS BIGINT) AS w "
+        f"FROM ({edges_cte_body}) GROUP BY subj, obj)",
+        "nodes AS (SELECT src AS page FROM e UNION SELECT dst FROM e)",
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY src)",
+        "r0 AS (SELECT page, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT n.page,
+         CAST({BASE_MICROS} + COALESCE(s.c, 0) * {DAMPING_MICROS} // 1000000 AS BIGINT) AS rank_micros
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS page, CAST(sum(r.rank_micros * e.w // o.tw) AS BIGINT) AS c
+    FROM e JOIN r{i} r ON e.src = r.page JOIN outw o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.page = s.page
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT page, rank_micros FROM r{iters}
+ORDER BY rank_micros DESC, page ASC LIMIT {topk}"""
+    )
+
+
 def personalized_pagerank_micros(
     edges: DataFrame,
     seeds: DataFrame,
