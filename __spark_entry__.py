@@ -56,6 +56,10 @@ from confluence2md_spark.operators.graph import (
     weighted_pagerank_micros,
     weighted_pagerank_sql_duck,
 )
+from confluence2md_spark.operators.bfs import (
+    seed_distance,
+    seed_distance_sql_duck,
+)
 from confluence2md_spark.operators.communities import (
     label_propagation,
     label_propagation_sql_duck,
@@ -402,6 +406,25 @@ def _kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return modularity_micros(links, iters=4)
+
+
+def _kg_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS link distance from the deterministic trusted-seed
+    set (operators/bfs.py; same seed rule as kg_ppr) — the
+    quality-by-proximity curation signal, exact vs the unrolled twin;
+    -1 = unreached within 6 rounds."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    nodes = (
+        links.select(F.col("subj").alias("page"))
+        .unionByName(links.select(F.col("obj").alias("page")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.expr(_PPR_SEED_PREDICATE))
+    return seed_distance(links, seeds, iters=6).orderBy("page")
 
 
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_ppr": _kg_ppr,
+        "kg_seed_distance": _kg_seed_distance,
         "kg_communities": _kg_communities,
         "kg_modularity": _kg_modularity,
         "kg_triangles": _kg_triangles,
@@ -1451,7 +1475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_header_meta": _mm_audio_header,
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,
-        "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_containment": _dedup_containment,
         "dedup_minhash_pairs": _dedup_minhash,
@@ -1467,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still exact-oracle-checked by scripts/check_contract.py each run)
         "kg_canon_map": _kg_canon_map,
         "kg_edges_canonical": _kg_edges_canonical,
+        "dedup_exact": _dedup_exact,
         "dedup_clusters": _dedup_clusters,
         "dedup_survivors": _dedup_survivors,
         "kg_repo_skew_census": _kg_repo_skew_census,
@@ -1627,6 +1651,11 @@ ORDER BY n_links DESC, obj ASC LIMIT 10""",
             seeds_predicate=_PPR_SEED_PREDICATE,
             iters=5,
             topk=20,
+        ),
+        "kg_seed_distance": seed_distance_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            seeds_predicate=_PPR_SEED_PREDICATE,
+            iters=6,
         ),
         "kg_communities": label_propagation_sql_duck(
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
