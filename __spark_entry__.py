@@ -53,6 +53,8 @@ from confluence2md_spark.operators.graph import (
     pagerank_sql_duck,
     personalized_pagerank_micros,
     personalized_pagerank_sql_duck,
+    hits_micros,
+    hits_sql_duck,
     weighted_pagerank_micros,
     weighted_pagerank_sql_duck,
 )
@@ -359,6 +361,18 @@ def _kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_pagerank_micros(
         links, weight="n_sources", iters=5, topk=20
     )
+
+
+def _kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (operators/graph.py) on the DIRECTED canonical
+    links — exact-integer max-normalized half-steps, top-20 authorities
+    with their hub scores, bit-exact vs the unrolled twin."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return hits_micros(links, iters=4, topk=20)
 
 
 _PPR_SEED_PREDICATE = "CAST(substr(page, 6) AS BIGINT) % 37 = 0"
@@ -1438,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_component_sizes": _kg_component_sizes,
         "kg_pagerank": _kg_pagerank,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
+        "kg_hits": _kg_hits,
         "kg_ppr": _kg_ppr,
         "kg_seed_distance": _kg_seed_distance,
         "kg_communities": _kg_communities,
@@ -1475,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_header_meta": _mm_audio_header,
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,
-        "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_containment": _dedup_containment,
         "dedup_minhash_pairs": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
@@ -1491,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canon_map": _kg_canon_map,
         "kg_edges_canonical": _kg_edges_canonical,
         "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_clusters": _dedup_clusters,
         "dedup_survivors": _dedup_survivors,
         "kg_repo_skew_census": _kg_repo_skew_census,
@@ -1650,6 +1665,11 @@ ORDER BY n_links DESC, obj ASC LIMIT 10""",
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
             seeds_predicate=_PPR_SEED_PREDICATE,
             iters=5,
+            topk=20,
+        ),
+        "kg_hits": hits_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            iters=4,
             topk=20,
         ),
         "kg_seed_distance": seed_distance_sql_duck(

@@ -257,6 +257,171 @@ ORDER BY rank_micros DESC, page ASC LIMIT {topk}"""
     )
 
 
+def hits_micros(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 4,
+    topk: int | None = None,
+) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities) on the DIRECTED edge set, in
+    exact integer micros:
+
+        auth_raw(v) = Σ over in-edges  hub(u)
+        hub_raw(u)  = Σ over out-edges auth(v)     (using the NEW auth)
+
+    each normalized to max = 1_000_000 after its half-step (L∞
+    normalization — HITS rankings are scale-invariant, and the max-norm
+    keeps every value within ~2e6 (the 1e6 scale plus flooring slack on
+    tiny graphs), so the arithmetic is overflow-safe at any graph size:
+    raw <= degree·2e6 needs ~4.6e12 in-edges on one node before int64
+    matters). The normalizing division is computed as
+        raw DIV (max_raw DIV 1_000_000)
+    (divide-before-multiply — raw * 1e6 would overflow on hub nodes);
+    the flooring-order choice is mirrored in the DuckDB twin, so parity
+    is exact. max_raw >= 1e6 always holds (the argmax of the previous
+    half-step has an incident edge), so the divisor is never 0.
+
+    Returns (page, auth_micros, hub_micros); with `topk`, the top-k by
+    (auth desc, page asc).
+
+    Scale shape: unlike PageRank's per-iteration constant (1-d) offset,
+    HITS normalizes by a GLOBAL max each half-step, so every half-step
+    needs a full materialization regardless — we make that explicit with
+    an eager localCheckpoint per half-step, then collect the 1-row max
+    (bounded driver action) and normalize against a literal divisor.
+    Referencing the raw relation lazily in both the max-agg and the
+    projection instead would double the logical plan per half-step
+    (2^(2·iters) subtree copies — measured minutes of Catalyst time at
+    iters=4 on a 6-edge graph). Superseded checkpoints are released as
+    soon as the next half-step materializes past them, so peak cache is
+    two node-sized relations."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("page"))
+        .unionByName(e.select(F.col("dst").alias("page")))
+        .distinct()
+        .persist()
+    )
+    ckpts: list[DataFrame] = []
+
+    def _norm(rel: DataFrame, col: str) -> DataFrame:
+        rel = rel.localCheckpoint(eager=True)
+        ckpts.append(rel)
+        # the two live checkpoints are the current auth and hub; anything
+        # older has been folded into a newer materialization
+        while len(ckpts) > 2:
+            _release_local_checkpoint(ckpts.pop(0))
+        mx = rel.agg(F.max(col).alias("m")).collect()[0][0]
+        return rel.select(
+            "page",
+            F.expr(f"{col} DIV {mx // 1_000_000}").cast("bigint").alias(col),
+        )
+
+    try:
+        auth = nodes.select(
+            "page", F.lit(1_000_000).cast("bigint").alias("auth")
+        )
+        hub = nodes.select(
+            "page", F.lit(1_000_000).cast("bigint").alias("hub")
+        )
+        for _ in range(iters):
+            a_raw = (
+                e.join(
+                    hub.select(F.col("page").alias("src"), "hub"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("auth"))
+            )
+            auth = nodes.join(
+                a_raw.withColumnRenamed("dst", "page"), "page", "left"
+            ).select(
+                "page", F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth")
+            )
+            auth = _norm(auth, "auth")
+            h_raw = (
+                e.join(
+                    auth.select(F.col("page").alias("dst"), "auth"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.sum("auth").alias("hub"))
+            )
+            hub = nodes.join(
+                h_raw.withColumnRenamed("src", "page"), "page", "left"
+            ).select(
+                "page", F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub")
+            )
+            hub = _norm(hub, "hub")
+        out = auth.join(hub, "page").select(
+            "page",
+            F.col("auth").alias("auth_micros"),
+            F.col("hub").alias("hub_micros"),
+        )
+        if topk is not None:
+            out = out.orderBy(
+                F.desc("auth_micros"), F.asc("page")
+            ).limit(topk)
+        out = out.localCheckpoint(eager=True)
+        for c in ckpts:
+            _release_local_checkpoint(c)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return out
+
+
+def hits_sql_duck(edges_cte_body: str, iters: int = 4, topk: int = 20) -> str:
+    """DuckDB twin: identical half-step order and the identical
+    divide-before-multiply flooring normalization."""
+    parts = [
+        f"e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({edges_cte_body}))",
+        "nodes AS (SELECT src AS page FROM e UNION SELECT dst FROM e)",
+        "a0 AS (SELECT page, CAST(1000000 AS BIGINT) AS auth FROM nodes)",
+        "h0 AS (SELECT page, CAST(1000000 AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""ar{i + 1} AS MATERIALIZED (
+  SELECT n.page, CAST(COALESCE(s.a, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS page, sum(h.hub) AS a
+    FROM e JOIN h{i} h ON e.src = h.page GROUP BY e.dst
+  ) s ON n.page = s.page
+)"""
+        )
+        parts.append(
+            f"""a{i + 1} AS MATERIALIZED (
+  SELECT page, CAST(auth // ((SELECT max(auth) FROM ar{i + 1}) // 1000000) AS BIGINT) AS auth
+  FROM ar{i + 1}
+)"""
+        )
+        parts.append(
+            f"""hr{i + 1} AS MATERIALIZED (
+  SELECT n.page, CAST(COALESCE(s.h, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS page, sum(a.auth) AS h
+    FROM e JOIN a{i + 1} a ON e.dst = a.page GROUP BY e.src
+  ) s ON n.page = s.page
+)"""
+        )
+        parts.append(
+            f"""h{i + 1} AS MATERIALIZED (
+  SELECT page, CAST(hub // ((SELECT max(hub) FROM hr{i + 1}) // 1000000) AS BIGINT) AS hub
+  FROM hr{i + 1}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT a.page, a.auth AS auth_micros, h.hub AS hub_micros
+FROM a{iters} a JOIN h{iters} h USING (page)
+ORDER BY a.auth DESC, a.page ASC LIMIT {topk}"""
+    )
+
+
 def personalized_pagerank_micros(
     edges: DataFrame,
     seeds: DataFrame,
