@@ -71,6 +71,10 @@ from confluence2md_spark.operators.communities import (
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
+from confluence2md_spark.operators.linkpred import (
+    link_prediction,
+    link_prediction_sql_duck,
+)
 from confluence2md_spark.operators.pii import (
     pii_signals,
     pii_sql_duck,
@@ -465,6 +469,61 @@ def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return kcore(links, k=3, max_rounds=12)
+
+
+def _kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (operators/linkpred.py) over the
+    canonical links_to graph — top-50 non-adjacent pairs by exact-integer
+    AA score, middle-degree-capped, hash-exact vs the DuckDB twin."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return link_prediction(links, max_degree=64, topk=50)
+
+
+def _kg_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutually-linked canonical page pairs (a→b AND b→a), emitted once
+    per unordered pair — the classic reciprocity signal (mutual links
+    indicate topical siblings, a curation/linking feature). The canonical
+    edge table is already unique on (subj, obj), so this is one
+    (subj, obj)-keyed semi join against its own reversal; no text ever
+    shuffles."""
+    e = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+    )
+    rev = e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    return (
+        e.join(rev, ["subj", "obj"], "semi")
+        .filter(F.col("subj") < F.col("obj"))
+        .orderBy("subj", "obj")
+    )
+
+
+def _kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In- and out-degree distribution of the canonical links_to graph
+    (direction, degree, n_nodes) — the first sanity plot a KG consumer
+    draws; two id-keyed groupBys, map-side combined."""
+    e = _edges(spark, sf_dir).filter(F.col("pred") == "links_to")
+
+    def hist(col: str, direction: str) -> DataFrame:
+        return (
+            e.groupBy(F.col(col).alias("page"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .select(F.lit(direction).alias("direction"), "degree", "n_nodes")
+        )
+
+    return (
+        hist("subj", "out")
+        .unionByName(hist("obj", "in"))
+        .orderBy("direction", "degree")
+    )
 
 
 def _kg_unresolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,6 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": _kg_modularity,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
+        "kg_reciprocal_links": _kg_reciprocal_links,
+        "kg_degree_histogram": _kg_degree_histogram,
+        "kg_link_prediction": _kg_link_prediction,
         # training-data operators (driver mandate — least self-evident first)
         "ann_brute_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
@@ -1684,6 +1746,25 @@ ORDER BY n_links DESC, obj ASC LIMIT 10""",
         "kg_modularity": modularity_sql_duck(
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
             iters=4,
+        ),
+        "kg_reciprocal_links": f"""
+WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
+e AS (SELECT DISTINCT subj, obj FROM canon_links WHERE subj <> obj)
+SELECT a.subj, a.obj FROM e a JOIN e b ON a.subj = b.obj AND a.obj = b.subj
+WHERE a.subj < a.obj ORDER BY a.subj, a.obj""",
+        "kg_degree_histogram": f"""
+WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
+e AS (SELECT DISTINCT subj, obj FROM canon_links),
+outd AS (SELECT subj, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY subj),
+ind AS (SELECT obj, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY obj)
+SELECT 'out' AS direction, degree, CAST(count(*) AS BIGINT) AS n_nodes FROM outd GROUP BY degree
+UNION ALL
+SELECT 'in', degree, CAST(count(*) AS BIGINT) FROM ind GROUP BY degree
+ORDER BY direction, degree""",
+        "kg_link_prediction": link_prediction_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            max_degree=64,
+            topk=50,
         ),
         "kg_triangles": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
