@@ -71,9 +71,18 @@ from confluence2md_spark.operators.communities import (
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
+from confluence2md_spark.functions.collocations import (
+    pmi_bigrams,
+    pmi_bigrams_sql_duck,
+)
 from confluence2md_spark.operators.linkpred import (
     link_prediction,
     link_prediction_sql_duck,
+)
+from confluence2md_spark.operators.urlsignals import (
+    synthetic_url_expr_sql,
+    url_domain_signals,
+    url_domain_signals_sql_duck,
 )
 from confluence2md_spark.operators.pii import (
     pii_signals,
@@ -1086,6 +1095,13 @@ def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
 
+def _text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (functions/collocations.py): top-40 adjacent
+    bigrams by exact-integer floor-ln-micros PMI, min_count=5 —
+    hash-exact vs the DuckDB twin."""
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5, topk=40)
+
+
 def _text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(_t(spark, sf_dir, "documents"))
 
@@ -1119,6 +1135,18 @@ def _text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(synthetic_pii_expr_sql()).alias("text")
     )
     return pii_signals(docs)
+
+
+def _text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL census (operators/urlsignals.py). The sf corpora
+    contain no URLs, so the contract input augments documents.text with
+    deterministic doc_id-derived URLs via ONE SQL expression evaluated
+    identically by both engines (the text_pii non-vacuous-evidence
+    pattern)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(synthetic_url_expr_sql()).alias("text")
+    )
+    return url_domain_signals(docs)
 
 
 def _text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "text_token_stats": _text_tokens,
+        "text_pmi_bigrams": _text_pmi_bigrams,
         "text_bpe_tokens": _text_bpe_tokens,
         "text_bpe_trained": _text_bpe_trained,
         "text_quality": _text_quality,
@@ -1533,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _text_langid,
         "text_repetition": _text_repetition,
         "text_pii": _text_pii,
+        "text_url_domains": _text_url_domains,
         "text_dup_spans": _text_dup_spans,
         "text_substr_spans": _text_substr_spans,
         "nb_quality_classifier": _nb_quality,
@@ -2122,6 +2152,7 @@ GROUP BY lang ORDER BY lang""",
         + "\nORDER BY src, dst",
         "ann_brute_topk": brute_force_topk_sql_duck() + "\nORDER BY q, rank",
         "text_token_stats": token_stats_sql_duck(),
+        "text_pmi_bigrams": pmi_bigrams_sql_duck(min_count=5, topk=40),
         "text_bpe_tokens": bpe_token_stats_sql_duck(),
         "text_quality": quality_stats_sql_duck(),
         "text_fingerprint": fingerprint_sql_duck(),
@@ -2131,6 +2162,13 @@ GROUP BY lang ORDER BY lang""",
             docs_rel=(
                 "(SELECT doc_id, "
                 + synthetic_pii_expr_sql()
+                + " AS text FROM documents) aug"
+            )
+        ),
+        "text_url_domains": url_domain_signals_sql_duck(
+            docs_rel=(
+                "(SELECT doc_id, "
+                + synthetic_url_expr_sql()
                 + " AS text FROM documents) aug"
             )
         ),
