@@ -71,6 +71,12 @@ from confluence2md_spark.operators.communities import (
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
+from confluence2md_spark.functions.tfidf import (
+    tfidf_keywords,
+    tfidf_keywords_sql_duck,
+    unigram_surprisal,
+    unigram_surprisal_sql_duck,
+)
 from confluence2md_spark.functions.collocations import (
     pmi_bigrams,
     pmi_bigrams_sql_duck,
@@ -533,6 +539,37 @@ def _kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hist("obj", "in"))
         .orderBy("direction", "degree")
     )
+
+
+def _kg_coauthored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the authored_by edges onto pages: top-30
+    canonical page pairs by number of shared authors — the co-authorship
+    graph a KG consumer derives for collaboration/ownership analysis.
+    Authors with more pages than the cap are excluded BEFORE the
+    user-keyed self-join (the linkpred middle-degree discipline: one
+    celebrity author must not go quadratic at 100 TB); the cap is part
+    of the contract and mirrored in the twin (no sf author comes near
+    256 pages, so the sf result is uncapped in practice)."""
+    ab = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "authored_by")
+        .select(F.col("subj").alias("page"), F.col("obj").alias("usr"))
+    )
+    ok = (
+        ab.groupBy("usr")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") <= 256)
+        .select("usr")
+    )
+    abf = ab.join(ok, "usr", "semi")
+    pairs = (
+        abf.alias("l")
+        .join(abf.select("usr", F.col("page").alias("page2")).alias("r"), "usr")
+        .filter(F.col("page") < F.col("page2"))
+        .groupBy(F.col("page").alias("a"), F.col("page2").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return pairs.orderBy(F.desc("n_shared"), F.asc("a"), F.asc("b")).limit(30)
 
 
 def _kg_unresolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,6 +1132,18 @@ def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
 
+def _text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (functions/tfidf.py): top-3 tokens
+    per doc by exact-integer tf·floor-ln-micros-idf, hash-exact twin."""
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document (functions/tfidf.py) — the
+    integer-exact perplexity-filter signal, hash-exact twin."""
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def _text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocations (functions/collocations.py): top-40 adjacent
     bigrams by exact-integer floor-ln-micros PMI, min_count=5 —
@@ -1549,12 +1598,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocal_links": _kg_reciprocal_links,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_link_prediction": _kg_link_prediction,
+        "kg_coauthored": _kg_coauthored,
         # training-data operators (driver mandate — least self-evident first)
         "ann_brute_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "text_token_stats": _text_tokens,
         "text_pmi_bigrams": _text_pmi_bigrams,
+        "text_keywords": _text_keywords,
+        "text_surprisal": _text_surprisal,
         "text_bpe_tokens": _text_bpe_tokens,
         "text_bpe_trained": _text_bpe_trained,
         "text_quality": _text_quality,
@@ -1791,6 +1843,20 @@ SELECT 'out' AS direction, degree, CAST(count(*) AS BIGINT) AS n_nodes FROM outd
 UNION ALL
 SELECT 'in', degree, CAST(count(*) AS BIGINT) FROM ind GROUP BY degree
 ORDER BY direction, degree""",
+        "kg_coauthored": f"""
+WITH ab AS (
+  SELECT DISTINCT 'page:' || CAST({canon_id_sql('doc_id')} AS STRING) AS page,
+         'user:user' || CAST(doc_id % 25 AS STRING) AS usr
+  FROM documents WHERE {IS_PAGE_SQL}
+),
+ok AS (SELECT usr FROM ab GROUP BY usr HAVING count(*) <= 256),
+abf AS (SELECT ab.page, ab.usr FROM ab JOIN ok USING (usr)),
+p AS (
+  SELECT l.page AS a, r.page AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM abf l JOIN abf r ON l.usr = r.usr AND l.page < r.page
+  GROUP BY l.page, r.page
+)
+SELECT a, b, n_shared FROM p ORDER BY n_shared DESC, a ASC, b ASC LIMIT 30""",
         "kg_link_prediction": link_prediction_sql_duck(
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
             max_degree=64,
@@ -2153,6 +2219,8 @@ GROUP BY lang ORDER BY lang""",
         "ann_brute_topk": brute_force_topk_sql_duck() + "\nORDER BY q, rank",
         "text_token_stats": token_stats_sql_duck(),
         "text_pmi_bigrams": pmi_bigrams_sql_duck(min_count=5, topk=40),
+        "text_keywords": tfidf_keywords_sql_duck(k=3),
+        "text_surprisal": unigram_surprisal_sql_duck(),
         "text_bpe_tokens": bpe_token_stats_sql_duck(),
         "text_quality": quality_stats_sql_duck(),
         "text_fingerprint": fingerprint_sql_duck(),
