@@ -68,6 +68,10 @@ from confluence2md_spark.operators.communities import (
     modularity_micros,
     modularity_sql_duck,
 )
+from confluence2md_spark.operators.communityrollup import (
+    community_pagerank_rollup,
+    community_rollup_sql_duck,
+)
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
@@ -427,6 +431,19 @@ def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return label_propagation(links, iters=4).orderBy("page")
+
+
+def _kg_community_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community PageRank rollup (operators/communityrollup.py) —
+    composition of the two verified exact-integer contracts (LPA ×
+    PageRank): page count, rank mass, and leading page per community,
+    hash-exact vs the joined unrolled-CTE twins."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return community_pagerank_rollup(links, iters_lpa=4, iters_pr=5)
 
 
 def _kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,7 +1590,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness driver records the FIRST 50 entries
     # of this dict (CORRECTNESS_r03.json held exactly positions 1-50).  The
-    # registry holds 97 queries, so 47 must sit past the window.  Per
+    # registry holds 98 queries, so 48 must sit past the window.  Per
     # VERDICT r3 item 1, the window holds the queries whose correctness is
     # least self-evident (ANN, text, BM25, corpus curation, multimodal,
     # every query added or fixed this round — incl. the de-vacuumed
@@ -1585,13 +1602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_contract.py, which always runs ALL registered queries.
     return {
         # KG pipeline core (SURVEY.md §2.A-I) — end-to-end chain coverage
-        "kg_pagerank": _kg_pagerank,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_hits": _kg_hits,
         "kg_ppr": _kg_ppr,
         "kg_seed_distance": _kg_seed_distance,
         "kg_communities": _kg_communities,
         "kg_modularity": _kg_modularity,
+        "kg_community_rollup": _kg_community_rollup,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
         "kg_reciprocal_links": _kg_reciprocal_links,
@@ -1640,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated staples with prior
         # driver-green rows (r2/r3); transitively covered above and still
         # exact-oracle/bounded-checked by scripts/check_contract.py each run
+        "kg_pagerank": _kg_pagerank,
         "kg_detect_status": _kg_detect_status,
         "kg_sha256_invariant": _kg_sha256,
         "kg_component_sizes": _kg_component_sizes,
@@ -1830,6 +1848,11 @@ ORDER BY n_links DESC, obj ASC LIMIT 10""",
         "kg_modularity": modularity_sql_duck(
             f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
             iters=4,
+        ),
+        "kg_community_rollup": community_rollup_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            iters_lpa=4,
+            iters_pr=5,
         ),
         "kg_reciprocal_links": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},

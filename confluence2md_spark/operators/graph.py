@@ -116,12 +116,14 @@ def pagerank_micros(
 
 
 def pagerank_sql_duck(
-    edges_cte_body: str, iters: int = 5, topk: int = 20
+    edges_cte_body: str, iters: int = 5, topk: int | None = 20
 ) -> str:
     """DuckDB twin: `edges_cte_body` is a SELECT yielding (subj, obj);
     iterations are unrolled one CTE each with the identical integer
     arithmetic (// is flooring division; all values non-negative, matching
-    Spark's DIV)."""
+    Spark's DIV). topk=None returns the FULL rank table unordered — the
+    form composition twins (operators/communityrollup.py) embed as a
+    subquery."""
     parts = [
         f"e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({edges_cte_body}))",
         "nodes AS (SELECT src AS page FROM e UNION SELECT dst FROM e)",
@@ -140,11 +142,13 @@ def pagerank_sql_duck(
   ) s ON n.page = s.page
 )"""
         )
-    return (
-        "WITH " + ",\n".join(parts) + f"""
-SELECT page, rank_micros FROM r{iters}
+    tail = (
+        f"SELECT page, rank_micros FROM r{iters}"
+        if topk is None
+        else f"""SELECT page, rank_micros FROM r{iters}
 ORDER BY rank_micros DESC, page ASC LIMIT {topk}"""
     )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 def weighted_pagerank_micros(
