@@ -20,10 +20,20 @@ fixpoint raise `iters`).
 
 Scale shape: one (node-keyed) join + groupBy-min shuffle per round —
 the connected-components/PageRank loop shape — with the reached set
-only growing; lineage localCheckpoint-truncated every
-`checkpoint_every` rounds. The NULL-as-unreached encoding keeps the
-relation at |V| rows every round (no frontier blow-up bookkeeping);
+only growing. The NULL-as-unreached encoding keeps the relation at
+|V| rows every round (no frontier blow-up bookkeeping);
 min-relaxation is idempotent so stragglers/retries cannot corrupt it.
+
+Unlike the PageRank/LPA loops, each relaxation references the previous
+dist relation TWICE (once for the neighbor candidates, once to keep
+the old minimum), so a lazy loop DOUBLES the logical plan per round —
+2^iters subtree copies, and Catalyst analysis time, not execution,
+dominated the whole query (measured ~2 min at iters=6 on a 461-node
+graph; the same trap hits_micros documents for its per-half-step
+normalization). `checkpoint_every` therefore defaults to 1: one eager
+node-sized materialization per round, the same per-round state HITS
+and hash-min CC already accept, with superseded checkpoints released
+as soon as the next round lands.
 """
 
 from __future__ import annotations
@@ -40,7 +50,7 @@ def seed_distance(
     src: str = "subj",
     dst: str = "obj",
     iters: int = 6,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(page, dist) for every node of the undirected simple graph induced
     by `edges`; dist = BFS hops to the nearest row of `seeds` (a `page`

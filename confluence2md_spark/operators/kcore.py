@@ -47,7 +47,7 @@ def kcore(
     src: str = "subj",
     dst: str = "obj",
     max_rounds: int = 12,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Nodes of the k-core of the undirected simple view of `edges`.
 
@@ -56,6 +56,12 @@ def kcore(
     Raises RuntimeError if the peel has not converged in `max_rounds`
     synchronous rounds (callers pick a depth matching their graph; the
     contract query asserts convergence rather than silently truncating).
+
+    Each round references `alive` three times (degree census + two semi
+    joins), so the un-truncated logical plan grows 3^rounds between
+    checkpoints — `checkpoint_every=2` caps that at 9 subtree copies
+    (the seed_distance/hits lineage lesson; the per-round count() forces
+    execution but not plan truncation).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
