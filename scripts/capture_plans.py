@@ -99,6 +99,21 @@ def main() -> int:
          "winnowing: one posexplode of gram hashes + one per-doc window "
          "pass (doc_id-keyed) — no self-joins; output bounded by the "
          "2/(w+1) density guarantee"),
+        ("kg_link_prediction",
+         "Adamic-Adar: wedge self-join through middle nodes AFTER the "
+         "degree-cap semi-join (one hub cannot fan out quadratically); "
+         "existing edges leave via a left-anti join; top-k without a "
+         "global sort"),
+        ("kg_community_rollup",
+         "LPA x PageRank composition: both constituents arrive as "
+         "materialized node-sized relations (per-round lineage "
+         "truncation), so the rollup plan is one node-keyed join + one "
+         "community-keyed HashAggregate with partial aggregation"),
+        ("kg_seed_distance",
+         "multi-source BFS: per-round eager checkpoint keeps the plan one "
+         "relaxation deep — the visible plan is a single node-keyed "
+         "join + groupBy-min over the LAST materialized round, not "
+         "2^iters stacked copies"),
     ]
     out = [
         "# Physical plan evidence (captured from .explain(\"formatted\") "
