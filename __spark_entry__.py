@@ -107,6 +107,11 @@ from confluence2md_spark.operators.substrdup import (
     duplicated_substring_spans,
     duplicated_substring_spans_sql_duck,
 )
+from confluence2md_spark.operators.paradedup import (
+    paragraph_dedup,
+    paragraph_dedup_sql_duck,
+    synthetic_paragraph_expr_sql,
+)
 from confluence2md_spark.operators.containment import (
     containment_pairs,
     containment_sql_duck,
@@ -1221,6 +1226,19 @@ def _text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_signals(_t(spark, sf_dir, "documents"))
 
 
+def _text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/paradedup.py) — the Dolma/
+    Gopher boilerplate-removal pass. The sf corpora are single-paragraph,
+    so the contract input shapes documents into multi-paragraph docs with
+    shared header/footer/license boilerplate via ONE SQL expression
+    evaluated identically by both engines (the text_pii non-vacuous
+    pattern); kept-text sha256 pins reconstruction byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(synthetic_paragraph_expr_sql()).alias("text")
+    )
+    return paragraph_dedup(docs)
+
+
 def _text_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated-substring spans >= 8 tokens
     (operators/substrdup.py, the ExactSubstr primitive of Lee et al.
@@ -1630,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_domains": _text_url_domains,
         "text_dup_spans": _text_dup_spans,
         "text_substr_spans": _text_substr_spans,
+        "text_paragraph_dedup": _text_paragraph_dedup,
         "nb_quality_classifier": _nb_quality,
         "nb_quality_calibration": _nb_calibration,
         "corpus_select_top30": _corpus_select_top,
@@ -1642,7 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stratified_sample": _curation_stratified_sample,
         "curation_pack_chunks": _curation_pack_chunks,
         "mm_binary_meta": _mm_binary_meta,
-        "mm_decode_stub": _mm_decode_stub,
         "mm_image_header_meta": _mm_image_header,
         "mm_audio_header_meta": _mm_audio_header,
         "mm_frame_sample": _mm_frame_sample,
@@ -1658,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green rows (r2/r3); transitively covered above and still
         # exact-oracle/bounded-checked by scripts/check_contract.py each run
         "kg_pagerank": _kg_pagerank,
+        "mm_decode_stub": _mm_decode_stub,  # rotated out: r2 driver-green;
+        # superseded as evidence by the REAL header decoders above
         "kg_detect_status": _kg_detect_status,
         "kg_sha256_invariant": _kg_sha256,
         "kg_component_sizes": _kg_component_sizes,
@@ -2267,6 +2287,13 @@ GROUP BY lang ORDER BY lang""",
         ),
         "text_dup_spans": dup_span_sql_duck(),
         "text_substr_spans": duplicated_substring_spans_sql_duck(),
+        "text_paragraph_dedup": paragraph_dedup_sql_duck(
+            docs_rel=(
+                "(SELECT doc_id, "
+                + synthetic_paragraph_expr_sql()
+                + " AS text FROM documents) aug"
+            )
+        ),
         "text_winnowing": winnow_sql_duck(),
         "text_winnow_overlap": winnow_overlap_sql_duck(),
         "nb_quality_classifier": nb_quality_sql_duck(
