@@ -107,6 +107,10 @@ from confluence2md_spark.operators.substrdup import (
     duplicated_substring_spans,
     duplicated_substring_spans_sql_duck,
 )
+from confluence2md_spark.functions.bigramlm import (
+    bigram_surprisal,
+    bigram_surprisal_sql_duck,
+)
 from confluence2md_spark.operators.mixing import (
     mixture_weights,
     mixture_weights_sql_duck,
@@ -1170,6 +1174,14 @@ def _text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def _text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one bigram-LM surprisal (functions/bigramlm.py) — the context
+    form of the perplexity-filter signal (catches unnatural token ORDER
+    that text_surprisal's unigram model cannot); floor-ln-micros parity,
+    hash-exact twin."""
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def _text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocations (functions/collocations.py): top-40 adjacent
     bigrams by exact-integer floor-ln-micros PMI, min_count=5 —
@@ -1651,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_bigrams": _text_pmi_bigrams,
         "text_keywords": _text_keywords,
         "text_surprisal": _text_surprisal,
+        "text_bigram_surprisal": _text_bigram_surprisal,
         "text_bpe_tokens": _text_bpe_tokens,
         "text_bpe_trained": _text_bpe_trained,
         "text_langid": _text_langid,
@@ -1672,7 +1685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stratified_sample": _curation_stratified_sample,
         "curation_pack_chunks": _curation_pack_chunks,
         "curation_mixture_weights": _curation_mixture_weights,
-        "mm_binary_meta": _mm_binary_meta,
         "mm_image_header_meta": _mm_image_header,
         "mm_audio_header_meta": _mm_audio_header,
         "mm_frame_sample": _mm_frame_sample,
@@ -1692,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_extendedprice": _stats_extendedprice,  # rotated out: r3
         # driver-green; the DECIMAL overflow fix is unobservable at sf0.01
         # (no group reaches the int64 boundary) and is pinned by pytest
+        "mm_binary_meta": _mm_binary_meta,  # rotated out: r2 driver-green;
+        # the real header decoders above exercise the same plumbing
         "kg_detect_status": _kg_detect_status,
         "kg_sha256_invariant": _kg_sha256,
         "kg_component_sizes": _kg_component_sizes,
@@ -2283,6 +2297,7 @@ GROUP BY lang ORDER BY lang""",
         "text_pmi_bigrams": pmi_bigrams_sql_duck(min_count=5, topk=40),
         "text_keywords": tfidf_keywords_sql_duck(k=3),
         "text_surprisal": unigram_surprisal_sql_duck(),
+        "text_bigram_surprisal": bigram_surprisal_sql_duck(),
         "text_bpe_tokens": bpe_token_stats_sql_duck(),
         "text_quality": quality_stats_sql_duck(),
         "text_fingerprint": fingerprint_sql_duck(),
