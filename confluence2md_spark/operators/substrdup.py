@@ -169,3 +169,154 @@ SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
 FROM isl GROUP BY doc_a, doc_b, diag, island
 HAVING max(pa) - min(pa) + {n} >= {min_len}
 ORDER BY doc_a, doc_b, a_start, b_start"""
+
+
+# ------------------------------------------------------------- removal --
+# The second half of the ExactSubstr recipe (Lee et al. 2022 §4.2: "remove
+# every duplicated substring, keeping one occurrence"): the span finder
+# above locates the extents; this pass deletes the doc_b-side copy of each
+# span (doc_a < doc_b, so the lowest-id occurrence survives — the same
+# keep-first rule as paragraph_dedup), merges overlapping removal
+# intervals per document, and rebuilds the surviving token stream.
+#
+# Scale shape: intervals are (doc_id, start, end) triples — three ints —
+# so the merge window and the per-doc rollup shuffle nothing wider than
+# the span relation itself (which the finder already bounded via df_cap).
+# Reconstruction joins the merged-interval lists back to the source
+# relation keyed on doc_id and filters token positions with one array
+# expression; document text crosses no exchange (output is length +
+# sha256, the paradedup/PII device). Merged intervals per doc are
+# disjoint, hence at most n_tokens/2 of them — the collect_list is
+# bounded by the document's own length, never by the corpus.
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_N,
+    min_len: int = MIN_SPAN_TOKENS,
+    df_cap: int = DF_CAP,
+) -> DataFrame:
+    """Per-document summary after removing the doc_b-side copy of every
+    maximal duplicated span: (doc_id, n_spans, n_tokens_removed, new_len,
+    new_sha) over ALL input documents, ordered by doc_id. new_sha pins
+    the rebuilt text byte-for-byte (sha256 of '' for a fully-removed
+    doc); tokenization is the span finder's plain space split."""
+    spans = duplicated_substring_spans(
+        docs, text_col, id_col, n=n, min_len=min_len, df_cap=df_cap, ordered=False
+    )
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("len_tokens") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s", "e")
+    merged = (
+        iv.withColumn("pme", F.max("e").over(w_prev))
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1
+                ).otherwise(0)
+            ).over(w_run),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).cast("bigint").alias("n_removed"),
+        F.collect_list(F.struct("ms", "me")).alias("ivs"),
+    )
+    rebuilt = F.expr(
+        f"concat_ws(' ', transform("
+        f"  filter(sequence(1, CAST(size(split({text_col}, ' ')) AS BIGINT)),"
+        f"         i -> ivs IS NULL OR NOT exists(ivs, v -> i >= v.ms AND i <= v.me)),"
+        f"  i -> element_at(split({text_col}, ' '), CAST(i AS INT))))"
+    )
+    return (
+        docs.join(
+            per_doc.withColumnRenamed("doc_id", "_rm_doc_id"),
+            F.col(id_col) == F.col("_rm_doc_id"),
+            "left",
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint")).alias("n_spans"),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint")).alias(
+                "n_tokens_removed"
+            ),
+            F.length(rebuilt).cast("bigint").alias("new_len"),
+            F.sha2(rebuilt, 256).alias("new_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def remove_duplicated_spans_sql_duck(
+    docs_rel: str = "documents",
+    n: int = NGRAM_N,
+    min_len: int = MIN_SPAN_TOKENS,
+    df_cap: int = DF_CAP,
+) -> str:
+    """DuckDB twin: the exact-string span twin feeds the same interval
+    merge (window running-max + island sum), and reconstruction keeps
+    token positions via NOT EXISTS against the merged intervals — a
+    row-algebra restatement that must agree with Spark's array-lambda
+    rebuild bit-for-bit."""
+    spans = duplicated_substring_spans_sql_duck(
+        docs_rel, n=n, min_len=min_len, df_cap=df_cap
+    )
+    return f"""
+WITH spans AS ({spans}),
+iv AS (
+  SELECT doc_b AS doc_id, b_start AS s, b_start + len_tokens - 1 AS e
+  FROM spans
+),
+m1 AS (
+  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS pme
+  FROM iv
+),
+m2 AS (
+  SELECT *, sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  FROM m1
+),
+mg AS (SELECT doc_id, min(s) AS ms, max(e) AS me FROM m2 GROUP BY doc_id, grp),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(me - ms + 1) AS BIGINT) AS n_removed
+  FROM mg GROUP BY doc_id
+),
+toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM {docs_rel}),
+pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, list_extract(ts, u.i) AS tok
+  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM mg
+                    WHERE mg.doc_id = p.doc_id AND p.i BETWEEN mg.ms AND mg.me)
+),
+reb AS (
+  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY i), '') AS nt
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0) AS n_spans,
+       coalesce(per.n_removed, 0) AS n_tokens_removed,
+       CAST(length(coalesce(reb.nt, '')) AS BIGINT) AS new_len,
+       lower(sha256(coalesce(reb.nt, ''))) AS new_sha
+FROM {docs_rel} d
+LEFT JOIN per ON d.doc_id = per.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id
+ORDER BY d.doc_id"""

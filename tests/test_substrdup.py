@@ -13,6 +13,8 @@ import pytest
 from confluence2md_spark.operators.substrdup import (
     duplicated_substring_spans,
     duplicated_substring_spans_sql_duck,
+    remove_duplicated_spans,
+    remove_duplicated_spans_sql_duck,
 )
 
 
@@ -97,4 +99,50 @@ def test_twin_same_rows(spark):
         f"(SELECT * FROM (VALUES {vals}) AS t(doc_id, text))"
     )
     twin = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == twin
+
+
+# ---------------------------------------------------------- removal step --
+
+
+def test_removal_deletes_b_side_copy_and_merges_overlaps(spark):
+    import hashlib
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"  # 10-token duplicated run
+    docs = [
+        (1, f"{run} tail1 tail2"),  # first occurrence: kept intact
+        # doc 2 holds the run at positions 3..12 AND a second overlapping
+        # duplicated region (the run's tail shared with doc 3) — overlap
+        # merge must count each token once
+        (2, f"pre1 pre2 {run} mid1 mid2 mid3"),
+        (3, "u1 u2 r5 r6 r7 r8 r9 r10 mid1 mid2 mid3 u3"),
+        (4, "plain unique words only here"),
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in remove_duplicated_spans(sdf).collect()}
+    # doc 1: earliest id -> nothing removed
+    assert rows[1]["n_spans"] == 0 and rows[1]["n_tokens_removed"] == 0
+    assert rows[1]["new_sha"] == hashlib.sha256(docs[0][1].encode()).hexdigest()
+    # doc 2: run removed (b-side of pair 1<2); surviving text keeps pre/mid
+    assert rows[2]["n_tokens_removed"] == 10
+    want2 = "pre1 pre2 mid1 mid2 mid3"
+    assert rows[2]["new_sha"] == hashlib.sha256(want2.encode()).hexdigest()
+    # doc 3: its r5..r10 + mid run pieces are b-side copies of docs 1/2;
+    # spans overlap on the shared region -> merged, tokens counted once
+    assert rows[3]["n_tokens_removed"] >= 8
+    assert rows[3]["n_spans"] == 1  # contiguous after merge
+    # untouched doc passes through byte-identical
+    assert rows[4]["new_sha"] == hashlib.sha256(docs[3][1].encode()).hexdigest()
+
+
+def test_removal_twin_same_rows(spark):
+    duckdb = pytest.importorskip("duckdb")
+    docs = _mk_corpus()
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [tuple(r) for r in remove_duplicated_spans(sdf).collect()]
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    sql = remove_duplicated_spans_sql_duck(
+        f"(SELECT * FROM (VALUES {vals}) AS t(doc_id, text))"
+    )
+    twin = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == twin
