@@ -109,6 +109,25 @@ def main() -> int:
          "materialized node-sized relations (per-round lineage "
          "truncation), so the rollup plan is one node-keyed join + one "
          "community-keyed HashAggregate with partial aggregation"),
+        ("text_paragraph_dedup",
+         "paragraph dedup: paragraph strings collapse to xxhash64 before "
+         "the corpus-wide groupBy (both Exchanges carry hash + two ints); "
+         "the rebuild joins kept-idx lists back to the source keyed on "
+         "doc_id — document text never in an Exchange"),
+        ("text_substr_removal",
+         "ExactSubstr removal: the span finder's capped plan feeds an "
+         "interval-merge window keyed on doc_id over (start, end) int "
+         "pairs; reconstruction is one doc_id-keyed join + array filter, "
+         "output leaves as length + sha256 only"),
+        ("text_bigram_surprisal",
+         "bigram LM: explode -> (doc, v, w) tf aggregation with partial "
+         "aggregation; model joins keyed on the bigram (NOT broadcast — a "
+         "web-scale bigram vocabulary outgrows any driver); vocab size "
+         "re-enters as a broadcast 1-row aggregate"),
+        ("curation_mixture_weights",
+         "mixture weights: ONE map-side-combined groupBy on the domain "
+         "value + a broadcast 1-row totals relation — no window over "
+         "domains, no driver collect"),
         ("kg_seed_distance",
          "multi-source BFS: per-round eager checkpoint keeps the plan one "
          "relaxation deep — the visible plan is a single node-keyed "
