@@ -560,3 +560,115 @@ SELECT a.id AS src, b.id AS dst,
 FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
 WHERE round(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}"""
+
+
+# ------------------------------------------------------------- SemDeDup --
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.85,
+    lloyd_iters: int = 2,
+    max_cluster: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then inside each cluster drop every vector whose
+    cosine to an already-kept vector exceeds `threshold`, keeping the
+    lowest-centroid-cosine member of each duplicate group first (the
+    paper's keep choice — the most "edge-of-cluster", least redundant
+    representative).
+
+    Returns one row per input vector, ordered by vec_id:
+        (vec_id, cell, cent_cos_micros, keep, dup_of)
+    where dup_of is the kept vector that shadowed a dropped one (-1 for
+    kept rows), so the drop decision is AUDITABLE: every dropped row's
+    dup_of must verify cosine > threshold exactly (the driver's bounded
+    check recomputes this from the raw vectors).
+
+    Scale shape (100 TB): centroid training is the IVF protocol
+    (deterministic hash-sample seeds + `lloyd_iters` distributed Lloyd
+    rounds; only the K x dim centroid matrix ever reaches the driver).
+    The greedy dedup runs per cell via applyInPandas — the paper's own
+    cost model: within-cluster quadratic, K sized so N/K fits a worker
+    (their 50k-point clusters). Clusters beyond `max_cluster` members
+    keep their overflow tail verbatim (keep=true, dup_of=-1) rather than
+    going quadratic — the same logged pass-through trade as the LSH
+    mega-bucket cap; at sane K the cap never binds. Approximation is
+    cross-cell only: two near-dups split by the quantizer both survive —
+    the documented SemDeDup behavior, bounded in pytest on planted
+    clusters.
+    """
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    base = embeddings.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    out_schema = (
+        "vec_id long, cell int, cent_cos_micros long, keep boolean, dup_of long"
+    )
+    base = base.persist()
+    try:
+        seed_rows = (
+            base.select("id", "v", F.xxhash64("id").alias("h"))
+            .orderBy("h")
+            .limit(n_centroids)
+            .collect()
+        )
+        if not seed_rows:
+            return spark.createDataFrame([], out_schema)
+        centroids = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+        for _ in range(lloyd_iters):
+            assigned = _assign_cells(base, centroids)
+            new_c = (
+                assigned.select("cell", F.posexplode("v").alias("i", "x"))
+                .groupBy("cell", "i")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            for r in new_c:
+                centroids[r["cell"]][r["i"]] = r["m"]
+
+        indexed = _assign_cells(base, centroids)
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+        def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+            cell = int(pdf["cell"].iloc[0])
+            m = np.stack(pdf["v"].to_numpy())
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            ccos = mn @ cn[cell]
+            ids = pdf["id"].to_numpy()
+            # paper's keep order: least-centroid-similar first; id tiebreak
+            order = np.lexsort((ids, ccos))
+            keep = np.ones(len(ids), dtype=bool)
+            dup_of = np.full(len(ids), -1, dtype=np.int64)
+            kept_rows: list[int] = []
+            for pos, j in enumerate(order):
+                if pos >= max_cluster:
+                    break  # overflow tail passes through as kept
+                if kept_rows:
+                    sims = mn[kept_rows] @ mn[j]
+                    b = int(np.argmax(sims))
+                    if sims[b] > threshold:
+                        keep[j] = False
+                        dup_of[j] = ids[kept_rows[b]]
+                        continue
+                kept_rows.append(j)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": np.full(len(ids), cell, dtype=np.int32),
+                    "cent_cos_micros": np.floor(ccos * 1_000_000).astype(np.int64),
+                    "keep": keep,
+                    "dup_of": dup_of,
+                }
+            )
+
+        res = indexed.groupBy("cell").applyInPandas(_greedy, schema=out_schema)
+        return res.orderBy("vec_id").localCheckpoint()
+    finally:
+        base.unpersist()
