@@ -114,6 +114,8 @@ from confluence2md_spark.functions.bigramlm import (
     bigram_surprisal_sql_duck,
 )
 from confluence2md_spark.operators.mixing import (
+    mixture_sample,
+    mixture_sample_sql_duck,
     mixture_weights,
     mixture_weights_sql_duck,
 )
@@ -1450,6 +1452,14 @@ def _curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(_t(spark, sf_dir, "documents"), budget_tokens=1_000_000)
 
 
+def _curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-rate sampler composing curation_mixture_weights with the
+    portable sha256 24-bit keep key (operators/mixing.py mixture_sample):
+    the FineWeb/Pile-style 'hit each domain's token budget' step, exact
+    twin, 203 kept docs at sf0.01 under a 10k-token budget."""
+    return mixture_sample(_t(spark, sf_dir, "documents"), budget_tokens=10_000)
+
+
 def _curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sample (operators/curation.py): portable
     sha256-threshold keys, exact integer compare — zero shuffles."""
@@ -1707,9 +1717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stratified_sample": _curation_stratified_sample,
         "curation_pack_chunks": _curation_pack_chunks,
         "curation_mixture_weights": _curation_mixture_weights,
+        "curation_mixture_sample": _curation_mixture_sample,
         "mm_image_header_meta": _mm_image_header,
         "mm_audio_header_meta": _mm_audio_header,
-        "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,
         "dedup_containment": _dedup_containment,
         "dedup_simhash_pairs": _dedup_simhash,
@@ -1732,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase_view": _events_asof,  # rotated out: r3
         # driver-green; the struct-carry fix needs NULL right-side values,
         # which the sf events never produce — pinned by pytest instead
+        "mm_frame_sample": _mm_frame_sample,  # rotated out: r2 driver-green;
+        # stub codec — the 1->N fan-out plumbing is pinned by pytest
         "kg_detect_status": _kg_detect_status,
         "kg_sha256_invariant": _kg_sha256,
         "kg_component_sizes": _kg_component_sizes,
@@ -2314,6 +2326,7 @@ GROUP BY lang ORDER BY lang""",
         "curation_mixture_weights": mixture_weights_sql_duck(
             budget_tokens=1_000_000
         ),
+        "curation_mixture_sample": mixture_sample_sql_duck(budget_tokens=10_000),
         "embedding_near_dup": embedding_near_dup_sql_duck(
             emb=f"({planted_cluster_sql_duck()}) _planted", threshold=0.85
         )

@@ -118,6 +118,17 @@ def _sample_key(doc_id_col, salt: str):
     return F.conv(F.substring(hexd, 1, 6), 16, 10).cast("bigint")
 
 
+def sample_key_sql_duck(salt: str, id_expr: str = "doc_id") -> str:
+    """DuckDB expression for the same 24-bit sample key as `_sample_key`
+    (first three sha256 digest bytes, decoded nibble-by-nibble — DuckDB has
+    no conv())."""
+    hexd = f"lower(sha256(CAST({id_expr} AS VARCHAR) || ':{salt}'))"
+    nib = "CAST(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1 AS BIGINT)"
+    return "(" + " + ".join(
+        f"({nib.format(h=hexd, i=i + 1)}) * {16 ** (5 - i)}" for i in range(6)
+    ) + ")"
+
+
 def stratified_sample(
     docs: DataFrame,
     rates_micros: dict[str, int],

@@ -146,3 +146,74 @@ SELECT domain, n_docs, n_tokens,
        CAST(CAST(sqrt_tokens AS HUGEINT) * {budget_tokens} // tot_sqrt AS BIGINT)
          AS budget_tokens
 FROM per, tot ORDER BY domain"""
+
+
+# -------------------------------------------------------- budget sampler --
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget_tokens: int = 1_000_000,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "v1",
+) -> DataFrame:
+    """APPLY the temperature weights: deterministically sample each domain
+    at the rate that hits its `mixture_weights` token budget in
+    expectation — rate_i = min(1, budget_i / tokens_i) — using the same
+    portable sha256 24-bit key as `curation.stratified_sample` (so the
+    kept set is byte-reproducible, monotone in budget, and engine-exact).
+    Returns the kept (doc_id, domain) rows ordered by doc_id.
+
+    Scale shape: mixture_weights' one domain groupBy produces a
+    domains-sized rate relation that re-enters as a broadcast join onto
+    the scan; the keep decision is a narrow integer filter — no RNG
+    state, no shuffle of the corpus.
+    """
+    rates = (
+        mixture_weights(docs, domain_col, text_col, budget_tokens)
+        .select(
+            "domain",
+            F.expr(
+                "CAST(least(CAST(1000000 AS DECIMAL(38,0)), "
+                "CAST(budget_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens)"
+                " AS BIGINT)"
+            ).alias("rate_micros"),
+        )
+    )
+    from confluence2md_spark.operators.curation import _sample_key
+
+    key = _sample_key(F.col("doc_id"), salt)
+    return (
+        docs.join(
+            F.broadcast(rates), F.col(domain_col) == F.col("domain")
+        )
+        .filter(key * 1_000_000 < F.col("rate_micros") * (1 << 24))
+        .select("doc_id", F.col(domain_col).alias("domain"))
+        .orderBy("doc_id")
+    )
+
+
+def mixture_sample_sql_duck(
+    docs_rel: str = "documents",
+    budget_tokens: int = 1_000_000,
+    domain_col: str = "lang",
+    salt: str = "v1",
+) -> str:
+    from confluence2md_spark.operators.curation import sample_key_sql_duck
+
+    w = mixture_weights_sql_duck(docs_rel, domain_col, budget_tokens)
+    key = sample_key_sql_duck(salt, id_expr="d.doc_id")
+    return f"""
+WITH w AS ({w}),
+rates AS (
+  SELECT domain,
+         CAST(least(CAST(1000000 AS HUGEINT),
+                    CAST(budget_tokens AS HUGEINT) * 1000000 // n_tokens)
+              AS BIGINT) AS rate_micros
+  FROM w
+)
+SELECT d.doc_id, d.{domain_col} AS domain
+FROM {docs_rel} d JOIN rates ON d.{domain_col} = rates.domain
+WHERE {key} * 1000000 < rate_micros * CAST({1 << 24} AS BIGINT)
+ORDER BY d.doc_id"""

@@ -71,3 +71,46 @@ def test_twin_agreement_on_planted_corpus(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?, ?)", data)
     orows = [tuple(r) for r in con.execute(mixture_weights_sql_duck()).fetchall()]
     assert srows == orows
+
+
+def test_mixture_sample_monotone_and_deterministic(spark):
+    from confluence2md_spark.operators.mixing import mixture_sample
+
+    data = [(i, f"d{i % 3}", "tok " * (1 + i % 11)) for i in range(120)]
+    docs = spark.createDataFrame(data, ["doc_id", "lang", "text"])
+    small = {r["doc_id"] for r in mixture_sample(docs, budget_tokens=100).collect()}
+    big = {r["doc_id"] for r in mixture_sample(docs, budget_tokens=400).collect()}
+    again = {r["doc_id"] for r in mixture_sample(docs, budget_tokens=100).collect()}
+    assert small == again  # no RNG state — byte-reproducible
+    assert small <= big  # a bigger budget only ADDS documents
+    assert len(small) < len(big)
+
+
+def test_mixture_sample_full_budget_keeps_everything(spark):
+    from confluence2md_spark.operators.mixing import mixture_sample
+
+    data = [(i, f"d{i % 3}", "tok " * 5) for i in range(30)]
+    docs = spark.createDataFrame(data, ["doc_id", "lang", "text"])
+    # budget >= corpus tokens -> every domain rate clamps to 1.0
+    kept = mixture_sample(docs, budget_tokens=10_000_000).collect()
+    assert sorted(r["doc_id"] for r in kept) == list(range(30))
+
+
+def test_mixture_sample_twin(spark):
+    import duckdb
+    from confluence2md_spark.operators.mixing import (
+        mixture_sample,
+        mixture_sample_sql_duck,
+    )
+
+    data = [(i, f"d{i % 4}", "alpha beta " * (1 + i % 9)) for i in range(80)]
+    docs = spark.createDataFrame(data, ["doc_id", "lang", "text"])
+    srows = [tuple(r) for r in mixture_sample(docs, budget_tokens=300).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", data)
+    orows = [
+        tuple(r)
+        for r in con.execute(mixture_sample_sql_duck(budget_tokens=300)).fetchall()
+    ]
+    assert srows == orows
