@@ -128,6 +128,15 @@ def main() -> int:
          "mixture weights: ONE map-side-combined groupBy on the domain "
          "value + a broadcast 1-row totals relation — no window over "
          "domains, no driver collect"),
+        ("curation_mixture_sample",
+         "budget sampler: the domains-sized rate relation re-enters as a "
+         "BroadcastExchange onto the scan; the keep decision is a narrow "
+         "integer filter — the corpus itself never shuffles"),
+        ("embedding_semdedup",
+         "SemDeDup: centroid assignment + per-cell greedy are the two "
+         "MapInPandas/FlatMapGroupsInPandas stages (the paper's own "
+         "within-cluster cost model); the only exchange keys on the "
+         "cell id"),
         ("kg_seed_distance",
          "multi-source BFS: per-round eager checkpoint keeps the plan one "
          "relaxation deep — the visible plan is a single node-keyed "
