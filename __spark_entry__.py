@@ -119,6 +119,10 @@ from confluence2md_spark.operators.mixing import (
     mixture_weights,
     mixture_weights_sql_duck,
 )
+from confluence2md_spark.operators.truss import (
+    ktruss,
+    ktruss_sql_duck,
+)
 from confluence2md_spark.operators.paradedup import (
     paragraph_dedup,
     paragraph_dedup_sql_duck,
@@ -519,6 +523,20 @@ def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return kcore(links, k=3, max_rounds=12)
+
+
+def _kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous support-peel k-truss (operators/truss.py) of the
+    canonical links_to graph; k=3 converges to 22 co-citation-certified
+    edges at sf0.01 (890 -> 22, so the peel genuinely cascades; k=4
+    empties the graph). RAISES if unconverged, so matching the 12-round
+    unrolled DuckDB twin is exact, never truncated."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return ktruss(links, k=3, max_rounds=12)
 
 
 def _kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,8 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_rollup": _kg_community_rollup,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
+        "kg_ktruss": _kg_ktruss,
         "kg_reciprocal_links": _kg_reciprocal_links,
-        "kg_degree_histogram": _kg_degree_histogram,
         "kg_link_prediction": _kg_link_prediction,
         "kg_coauthored": _kg_coauthored,
         # training-data operators (driver mandate — least self-evident first)
@@ -1744,6 +1762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which the sf events never produce — pinned by pytest instead
         "mm_frame_sample": _mm_frame_sample,  # rotated out: r2 driver-green;
         # stub codec — the 1->N fan-out plumbing is pinned by pytest
+        "kg_degree_histogram": _kg_degree_histogram,  # rotated out: the
+        # simplest of the graph family (two groupBys); exact-oracled by
+        # check_contract every round
         "kg_detect_status": _kg_detect_status,
         "kg_sha256_invariant": _kg_sha256,
         "kg_component_sizes": _kg_component_sizes,
@@ -2007,6 +2028,9 @@ ORDER BY n_tri DESC, node""",
         "kg_kcore": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
 {kcore_sql_duck("canon_links", k=3, rounds=12)}""",
+        "kg_ktruss": f"""
+WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
+{ktruss_sql_duck("canon_links", k=3, rounds=12)}""",
         "kg_unresolved_links": f"""
 WITH {_LINKS_CTE}
 SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_page_sql('o')}
