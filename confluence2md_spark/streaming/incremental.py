@@ -340,6 +340,78 @@ def run_streaming_dedup(
     )
 
 
+# ---------------------------------------- streaming paragraph dedup --
+
+
+def streaming_paragraph_dedup(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark_delay: str | None = None,
+    ts_col: str = "ts",
+):
+    """Incremental PARAGRAPH-level dedup — the streaming member of the
+    paragraph pass (operators/paradedup.py), the way streaming_exact_dedup
+    mirrors the batch document dedup: explode paragraphs, keep the
+    first-arrived occurrence of each distinct paragraph corpus-wide, drop
+    every later occurrence (cross-micro-batch: boilerplate seen in an
+    earlier drop never re-emits).
+
+    The state key is (xxhash64(para), length(para)) — ~16 B per DISTINCT
+    paragraph, never the text; the emitted ledger (doc_id, idx, para) is
+    what a downstream batch rebuild consumes. Streaming keeps the
+    first-ARRIVED occurrence while the batch operator keeps min (doc_id,
+    idx): the surviving paragraph CONTENT set is identical (the test pins
+    it); the representative occurrence may differ — the same documented
+    divergence as streaming_exact_dedup.
+
+    watermark_delay=None -> dropDuplicates (exact forever, state grows
+    with distinct paragraphs); set -> dropDuplicatesWithinWatermark over
+    `ts_col` (bounded state; late re-emissions handled by the periodic
+    batch compaction — the incremental_triples lambda split).
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(ts_col)] if watermark_delay is not None else [] ),
+        F.posexplode(F.split(F.col(text_col), "\\n")).alias("idx0", "para"),
+    ).select(
+        "doc_id",
+        *( [ts_col] if watermark_delay is not None else [] ),
+        (F.col("idx0") + 1).cast("bigint").alias("idx"),
+        "para",
+        F.xxhash64("para").alias("para_hash"),
+        F.length("para").alias("para_len"),
+    )
+    if watermark_delay is not None:
+        return occ.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            ["para_hash", "para_len"]
+        )
+    return occ.dropDuplicates(["para_hash", "para_len"])
+
+
+def run_streaming_paragraph_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> object:
+    """Drain a documents drop dir into the kept-paragraph-ledger sink."""
+    docs = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return (
+        streaming_paragraph_dedup(docs)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------- stream-stream interval join --
 
 EVENTS_DDL = (

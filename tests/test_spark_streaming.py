@@ -455,3 +455,55 @@ def test_streaming_pii_and_quality_match_batch(spark, tmp_path):
     # quality signals lift the same way
     qgot = {tuple(r) for r in quality_stats(docs).collect()}
     assert len(qgot) == 3
+
+
+def test_streaming_paragraph_dedup_matches_batch_content_set(spark, sf_dir, tmp_path):
+    """Stream-drained kept-paragraph ledger: one occurrence per DISTINCT
+    paragraph corpus-wide, equal to the batch paragraph_dedup survivor
+    CONTENT set, with cross-batch boilerplate suppressed by state."""
+    from confluence2md_spark.operators.paradedup import (
+        synthetic_paragraph_expr_sql,
+    )
+    from confluence2md_spark.streaming.incremental import (
+        run_streaming_paragraph_dedup,
+    )
+
+    src = str(tmp_path / "pdocs")
+    out = str(tmp_path / "paras")
+    ckpt = str(tmp_path / "pckpt")
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.expr(synthetic_paragraph_expr_sql()).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    docs.filter("doc_id < 250").write.mode("overwrite").parquet(src)
+    run_streaming_paragraph_dedup(spark, src, out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # batch 2: the rest (same boilerplate footer/header paragraphs — state
+    # must suppress them) plus a full re-drop of some batch-1 docs
+    docs.filter("doc_id >= 250").write.mode("append").parquet(src)
+    docs.filter("doc_id < 40").withColumn(
+        "doc_id", F.col("doc_id") + 50_000
+    ).write.mode("append").parquet(src)
+    run_streaming_paragraph_dedup(spark, src, out, ckpt).awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch_paras = {
+        r["h"]
+        for r in docs.select(
+            F.explode(F.split("text", "\n")).alias("p")
+        ).select(F.xxhash64("p").alias("h")).distinct().collect()
+    }
+    stream_paras = [r["para_hash"] for r in got.collect()]
+    assert set(stream_paras) == batch_paras
+    assert len(stream_paras) == len(batch_paras)  # exactly one ledger row each
+    assert n1 <= len(batch_paras)
+    # the ledger carries enough to rebuild: occurrence coords + the text
+    assert {"doc_id", "idx", "para"} <= set(got.columns)
