@@ -75,6 +75,11 @@ from confluence2md_spark.operators.communityrollup import (
 from confluence2md_spark.operators.retrieval import bm25_sql_duck, bm25_topk
 from confluence2md_spark.operators.triangles import triangle_participation
 from confluence2md_spark.operators.kcore import kcore, kcore_sql_duck
+from confluence2md_spark.operators.scc import scc, scc_sql_duck
+from confluence2md_spark.operators.betweenness import (
+    betweenness_micros,
+    betweenness_sql_duck,
+)
 from confluence2md_spark.functions.tfidf import (
     tfidf_keywords,
     tfidf_keywords_sql_duck,
@@ -537,6 +542,40 @@ def _kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subj", "obj")
     )
     return ktruss(links, k=3, max_rounds=12)
+
+
+def _kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/scc.py) of the DIRECTED
+    canonical links_to graph — mutual-reachability clusters (citation
+    loops), the directed complement of kg_component_sizes' undirected
+    paths. Full (page, scc_id) assignment, exact vs the recursive-CTE
+    closure twin; non-vacuous at sf0.01 (the reciprocal-link pairs of
+    kg_reciprocal_links guarantee multi-member components)."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    return scc(links)
+
+
+def _kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled Brandes betweenness (operators/betweenness.py) over
+    the undirected link graph from the deterministic trusted-seed rule
+    (same rule as kg_ppr/kg_seed_distance) — bridge-page centrality in
+    flooring micros, bit-exact vs the unrolled two-phase DuckDB twin."""
+    links = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", "obj")
+    )
+    nodes = (
+        links.select(F.col("subj").alias("page"))
+        .unionByName(links.select(F.col("obj").alias("page")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.expr(_PPR_SEED_PREDICATE))
+    return betweenness_micros(links, seeds, max_depth=12)
 
 
 def _kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,9 +1742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
         "kg_ktruss": _kg_ktruss,
-        "kg_reciprocal_links": _kg_reciprocal_links,
+        "kg_scc": _kg_scc,
+        "kg_betweenness": _kg_betweenness,
         "kg_link_prediction": _kg_link_prediction,
-        "kg_coauthored": _kg_coauthored,
         # training-data operators (driver mandate — least self-evident first)
         "ann_brute_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
@@ -1747,6 +1786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: rotated staples with prior
         # driver-green rows (r2/r3); transitively covered above and still
         # exact-oracle/bounded-checked by scripts/check_contract.py each run
+        "kg_reciprocal_links": _kg_reciprocal_links,  # rotated out for the
+        # two NEW graph ops (kg_scc / kg_betweenness); its pair set is a
+        # strict subset of the evidence kg_scc now states (2-cycles)
+        "kg_coauthored": _kg_coauthored,  # rotated out: simplest twin in
+        # the graph family (one self-join), window seats go to new ops
         "kg_pagerank": _kg_pagerank,
         "mm_decode_stub": _mm_decode_stub,  # rotated out: r2 driver-green;
         # superseded as evidence by the REAL header decoders above
@@ -2031,6 +2075,14 @@ WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
         "kg_ktruss": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE},
 {ktruss_sql_duck("canon_links", k=3, rounds=12)}""",
+        "kg_scc": scc_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links"
+        ),
+        "kg_betweenness": betweenness_sql_duck(
+            f"WITH {_LINKS_CTE}, {_CANON_LINKS_CTE} SELECT subj, obj FROM canon_links",
+            seeds_predicate=_PPR_SEED_PREDICATE,
+            max_depth=12,
+        ),
         "kg_unresolved_links": f"""
 WITH {_LINKS_CTE}
 SELECT DISTINCT 'page:' || CAST(o AS STRING) AS obj FROM links WHERE NOT {is_page_sql('o')}
