@@ -1584,6 +1584,89 @@ def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_final_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation CAPSTONE: the full FineWeb/Gopher-style keep/drop
+    cascade in one pass, with a per-rule rejection ledger — the number a
+    pipeline owner actually reports ("we dropped X% as exact dups, Y% as
+    non-English, ..."). First-failing-rule semantics over the verified
+    pieces, in published-pipeline order:
+
+      1. exact_dup    — not the survivor of its (xxhash64, length) group
+                        (dedup_survivors discipline: text never shuffles);
+      2. non_english  — predict_language (functions/textstats.py) says
+                        anything but 'en';
+      3. too_short    — under 20 whitespace tokens (corpus_curation rule);
+      4. repetitive   — any Gopher repetition cap exceeded
+                        (operators/repetition.py defaults);
+      5. low_quality  — corpus_curation's score below 0.15;
+      6. kept.
+
+    Plan shape: one scan computes hash/length/score/tokens, one window
+    ranks dup groups (16-byte key), and the langid/repetition signals join
+    back doc_id-keyed — at 100 TB this is the same number of token-stream
+    passes the standalone queries already make, with the cascade itself a
+    single CASE projection. The DuckDB twin composes the SAME rule
+    expressions (corpus_curation metrics CTE, predict_language twin,
+    repetition twin) so every bucket's (n_docs, n_tokens) states exactly.
+
+    The sf corpora contain no byte-identical documents, so rule 1 would
+    pass vacuously (the VERDICT r3 evidence rule); the contract input
+    therefore plants a duplicate of every 41st document under a shifted
+    doc_id via ONE relational expression both engines evaluate
+    identically — every planted copy must land in 1_exact_dup."""
+    from pyspark.sql import Window
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 41 == 0).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"), "lang", "text"
+        )
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_tok = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    space_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ) / F.length("text")
+    score = F.least(sw / n_tok * F.lit(4.0), F.lit(1.0)) * 0.5 + space_ratio * 0.5
+    m = docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("h"),
+        F.length("text").alias("hl"),
+        F.floor(score * 1_000_000).cast("bigint").alias("score_micros"),
+        n_tok.cast("bigint").alias("n_tokens"),
+    )
+    dup = m.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h", "hl").orderBy("doc_id")
+        ),
+    )
+    pl = predict_language(docs).select("doc_id", "predicted_lang")
+    rep = repetition_signals(docs).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    verdict = (
+        F.when(F.col("rn") > 1, F.lit("1_exact_dup"))
+        .when(F.col("predicted_lang") != "en", F.lit("2_non_english"))
+        .when(F.col("n_tokens") < 20, F.lit("3_too_short"))
+        .when(F.col("rep_keep") == 0, F.lit("4_repetitive"))
+        .when(F.col("score_micros") < 150_000, F.lit("5_low_quality"))
+        .otherwise(F.lit("6_kept"))
+    )
+    return (
+        dup.join(pl, "doc_id")
+        .join(rep, "doc_id")
+        .select(verdict.alias("verdict"), "n_tokens")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        )
+        .orderBy("verdict")
+    )
+
+
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_binary_payload(_t(spark, sf_dir, "documents")).select(
         "doc_id", "media_type", "n_bytes", F.lower("payload_sha256").alias("payload_sha256")
@@ -1753,7 +1836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keywords": _text_keywords,
         "text_surprisal": _text_surprisal,
         "text_bigram_surprisal": _text_bigram_surprisal,
-        "text_bpe_tokens": _text_bpe_tokens,
         "text_bpe_trained": _text_bpe_trained,
         "text_langid": _text_langid,
         "text_repetition": _text_repetition,
@@ -1775,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pack_chunks": _curation_pack_chunks,
         "curation_mixture_weights": _curation_mixture_weights,
         "curation_mixture_sample": _curation_mixture_sample,
+        "corpus_final_ledger": _corpus_final_ledger,
         "mm_image_header_meta": _mm_image_header,
         "mm_audio_header_meta": _mm_audio_header,
         "mm_features": _mm_features,
@@ -1791,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict subset of the evidence kg_scc now states (2-cycles)
         "kg_coauthored": _kg_coauthored,  # rotated out: simplest twin in
         # the graph family (one self-join), window seats go to new ops
+        "text_bpe_tokens": _text_bpe_tokens,  # rotated out: the fertility
+        # variant; text_bpe_trained (in-window) subsumes it as evidence
         "kg_pagerank": _kg_pagerank,
         "mm_decode_stub": _mm_decode_stub,  # rotated out: r2 driver-green;
         # superseded as evidence by the REAL header decoders above
@@ -2403,6 +2488,40 @@ GROUP BY lang ORDER BY lang""",
             budget_tokens=1_000_000
         ),
         "curation_mixture_sample": mixture_sample_sql_duck(budget_tokens=10_000),
+        # mirrors _corpus_final_ledger: corpus_curation's metric CTE, the
+        # dedup_survivors window, and the predict_language / repetition
+        # twins, composed under the same first-failing-rule CASE
+        "corpus_final_ledger": f"""
+WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 41 = 0
+),
+m AS (
+  SELECT doc_id, hash(text) AS h, length(text) AS hl,
+    CAST(floor((least(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ({",".join(f"'{w}'" for w in STOPWORDS_EN)}))) / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) * 4.0, 1.0) * 0.5
+      + ((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE)) * 0.5) * 1000000) AS BIGINT) AS score_micros,
+    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM aug
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY h, hl ORDER BY doc_id) AS rn FROM m
+),
+pl AS ({predict_language_sql_duck(docs="aug")}),
+rep AS ({repetition_sql_duck(docs_rel="aug")}),
+j AS (
+  SELECT d.n_tokens,
+    CASE WHEN d.rn > 1 THEN '1_exact_dup'
+         WHEN pl.predicted_lang <> 'en' THEN '2_non_english'
+         WHEN d.n_tokens < 20 THEN '3_too_short'
+         WHEN rep.keep = 0 THEN '4_repetitive'
+         WHEN d.score_micros < 150000 THEN '5_low_quality'
+         ELSE '6_kept' END AS verdict
+  FROM d JOIN pl ON d.doc_id = pl.doc_id JOIN rep ON d.doc_id = rep.doc_id
+)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+FROM j GROUP BY verdict ORDER BY verdict""",
         "embedding_near_dup": embedding_near_dup_sql_duck(
             emb=f"({planted_cluster_sql_duck()}) _planted", threshold=0.85
         )
