@@ -142,6 +142,12 @@ def main() -> int:
          "relaxation deep — the visible plan is a single node-keyed "
          "join + groupBy-min over the LAST materialized round, not "
          "2^iters stacked copies"),
+        ("corpus_final_ledger",
+         "curation capstone cascade: one pruned (doc_id, lang, text) scan "
+         "fans into the dup-rank window (16-byte hash key), the langid "
+         "projection, and the repetition token aggregations; the verdict "
+         "CASE is a narrow projection and every Exchange carries ids + "
+         "integers — document text never shuffles"),
     ]
     out = [
         "# Physical plan evidence (captured from .explain(\"formatted\") "
