@@ -188,6 +188,10 @@ from confluence2md_spark.functions.textstats import (
     token_stats,
     token_stats_sql_duck,
 )
+from confluence2md_spark.functions.hashembed import (
+    hashed_tf,
+    hashed_tf_sql_duck,
+)
 from confluence2md_spark.sources.corpus import (
     IS_PAGE_SQL,
     TITLE_ID_SQL,
@@ -1107,6 +1111,32 @@ def _events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB companion of events_value_quantiles: percentile_approx
+    (Spark's Greenwald-Khanna sketch — bounded memory per group at ANY
+    row count, no rank window). Approximate by design, so no exact twin:
+    the bounded check verifies the GK guarantee itself — each reported
+    value's rank within its group is <= n/accuracy + 1 positions from
+    ceil(p*n), with ranks recomputed independently by DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.25, 0.5, 0.75], _QA_ACCURACY)
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+_QA_ACCURACY = 100
+
+
 def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): attribute each purchase to the most
     recent prior-or-simultaneous view by the same user; DuckDB's native
@@ -1272,6 +1302,15 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (functions/hashembed.py): in-engine
+    text→vector construction via the hashing trick — sparse (doc_id,
+    bucket, tf) rows with the engine-portable token hash, exact twin;
+    the ANN-bridge pytest assembles the dense vectors and feeds cosine
+    top-k."""
+    return hashed_tf(_t(spark, sf_dir, "documents"))
 
 
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1834,14 +1873,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf,
         "text_pmi_bigrams": _text_pmi_bigrams,
         "text_keywords": _text_keywords,
-        "text_surprisal": _text_surprisal,
+        "text_hashed_tf": _text_hashed_tf,
+        "events_quantiles_approx": _events_quantiles_approx,
         "text_bigram_surprisal": _text_bigram_surprisal,
         "text_bpe_trained": _text_bpe_trained,
         "text_langid": _text_langid,
         "text_repetition": _text_repetition,
         "text_pii": _text_pii,
         "text_url_domains": _text_url_domains,
-        "text_dup_spans": _text_dup_spans,
         "text_substr_spans": _text_substr_spans,
         "text_substr_removal": _text_substr_removal,
         "text_paragraph_dedup": _text_paragraph_dedup,
@@ -1876,6 +1915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the graph family (one self-join), window seats go to new ops
         "text_bpe_tokens": _text_bpe_tokens,  # rotated out: the fertility
         # variant; text_bpe_trained (in-window) subsumes it as evidence
+        "text_surprisal": _text_surprisal,  # rotated out: unigram member;
+        # text_bigram_surprisal (in-window) is the harder family contract
+        "text_dup_spans": _text_dup_spans,  # rotated out: signal member;
+        # text_substr_spans/removal (in-window) are the harder extents
         "kg_pagerank": _kg_pagerank,
         "mm_decode_stub": _mm_decode_stub,  # rotated out: r2 driver-green;
         # superseded as evidence by the REAL header decoders above
@@ -2536,6 +2579,7 @@ FROM j GROUP BY verdict ORDER BY verdict""",
         "text_quality": quality_stats_sql_duck(),
         "text_fingerprint": fingerprint_sql_duck(),
         "text_langid": predict_language_sql_duck(),
+        "text_hashed_tf": hashed_tf_sql_duck(),
         "text_repetition": repetition_sql_duck(),
         "text_pii": pii_sql_duck(
             docs_rel=(
@@ -3012,8 +3056,42 @@ def _check_bpe_trained(spark: SparkSession, sf_dir: str, con) -> dict:
     }
 
 
+def _check_quantiles_approx_bound(spark: SparkSession, sf_dir: str, con) -> dict:
+    """percentile_approx must honor the Greenwald-Khanna guarantee: for
+    each group and each p, the reported value's RANK interval (computed
+    independently by DuckDB as [count(<v)+1, count(<=v)]) must come within
+    n/accuracy + 1 positions of the target rank ceil(p*n)."""
+    rows = queries()["events_quantiles_approx"](spark, sf_dir).collect()
+    worst = 0
+    n_checked = 0
+    for r in rows:
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            lo, hi = con.execute(
+                "SELECT count(*) FILTER (value < ?) + 1,"
+                " count(*) FILTER (value <= ?)"
+                " FROM events WHERE event_type = ?",
+                [r[col], r[col], r["event_type"]],
+            ).fetchone()
+            target = math.ceil(p * r["n"])
+            dist = 0 if lo <= target <= hi else min(
+                abs(target - lo), abs(target - hi)
+            )
+            worst = max(worst, dist)
+            n_checked += 1
+    tol = max(r["n"] for r in rows) / _QA_ACCURACY + 1
+    return {
+        "pass": worst <= tol,
+        "n_groups": len(rows),
+        "n_checked": n_checked,
+        "worst_rank_err": worst,
+        "tolerance": tol,
+        "bound": "rank distance <= n/accuracy + 1 for every group x p",
+    }
+
+
 def bounded_checks() -> dict[str, Callable]:
     return {
+        "events_quantiles_approx": _check_quantiles_approx_bound,
         "text_bpe_trained": _check_bpe_trained,
         "dedup_minhash_pairs": _check_minhash_bound,
         "dedup_simhash_pairs": _check_simhash_bound,
