@@ -1137,6 +1137,48 @@ def _events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QA_ACCURACY = 100
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    advances a stage only with an event at-or-after their previous
+    stage's FIRST qualifying time — the classic product-analytics
+    operator the events family still lacked. Three chained user-keyed
+    min-aggregations (each one shuffle on user_id); conversion rates in
+    flooring micros so both engines state identical integers."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    n1, n2, n3 = (
+        tv.count(),
+        tc.count(),
+        tp.count(),
+    )
+    rows = [
+        ("1_view", n1, 1_000_000),
+        ("2_view_click", n2, n2 * 1_000_000 // n1 if n1 else 0),
+        ("3_view_click_purchase", n3, n3 * 1_000_000 // n1 if n1 else 0),
+    ]
+    return spark.createDataFrame(
+        rows, "stage STRING, n_users BIGINT, conversion_micros BIGINT"
+    ).orderBy("stage")
+
+
 def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): attribute each purchase to the most
     recent prior-or-simultaneous view by the same user; DuckDB's native
@@ -1956,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q5_nation_revenue,
         "kg_unresolved_links": _kg_unresolved_links,
         "events_sessionize": _events_sessionize,
+        "events_funnel": _events_funnel,
         "events_value_quantiles": _events_quantiles,
         "q3_top_orders": _q3_top_orders,
         "cube_returnflag_status": _cube_returnflag_status,
@@ -2465,6 +2508,38 @@ SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_event
        max(n_events) AS max_session_events
 FROM per_session GROUP BY user_id
 ORDER BY user_id""",
+        # mirrors _events_funnel: chained first-qualifying-time mins, the
+        # at-or-after rule, integer-DIV conversion rates
+        "events_funnel": """
+WITH tv AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+tc AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN tv ON e.user_id = tv.user_id
+  WHERE e.event_type = 'click' AND e.ts >= tv.tv GROUP BY e.user_id
+),
+tp AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN tc ON e.user_id = tc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= tc.tc GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT count(*) FROM tv) AS n1,
+         (SELECT count(*) FROM tc) AS n2,
+         (SELECT count(*) FROM tp) AS n3
+)
+SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+       CAST(conversion_micros AS BIGINT) AS conversion_micros
+FROM (
+  SELECT '1_view' AS stage, n1 AS n_users, 1000000 AS conversion_micros FROM n
+  UNION ALL
+  SELECT '2_view_click', n2, CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END FROM n
+  UNION ALL
+  SELECT '3_view_click_purchase', n3, CASE WHEN n1 = 0 THEN 0 ELSE n3 * 1000000 // n1 END FROM n
+)
+ORDER BY stage""",
         # ------------------------------------------------ training-data ops
         "dedup_exact": """
 SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
