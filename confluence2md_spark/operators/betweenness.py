@@ -54,11 +54,22 @@ def betweenness_micros(
     src: str = "subj",
     dst: str = "obj",
     max_depth: int = 12,
+    use_decimal: bool = False,
 ) -> DataFrame:
     """(page, betweenness_micros) over the undirected simple view of
     `edges`, dependency-accumulated from `seeds` (a `page` column),
     ordered (betweenness_micros desc, page asc), zero rows dropped.
     Raises RuntimeError if BFS from the seeds is deeper than `max_depth`.
+
+    `use_decimal` switches the backward step's sigma·(10^6+delta) product
+    to DECIMAL(38,0) with Spark's exact integral DIV — same floor result
+    on non-negative integers, headroom to 10^38 — for graphs whose
+    shortest-path counts exceed the int64 guard (dense small-world
+    graphs reach astronomical sigma; the RESULT stays int64-safe because
+    pair dependency is bounded by 10^6 × reachable-node count, only the
+    intermediate product needs the ladder). The contract twin keeps
+    BIGINT arithmetic: contract graphs are guarded to stay inside it,
+    where the two paths are bit-identical.
     """
     a, b = F.col(src), F.col(dst)
     und = (
@@ -75,12 +86,14 @@ def betweenness_micros(
         nodes = adj.select(F.col("v").alias("page")).distinct()
         s = seeds.select("page").distinct().join(nodes, "page", "semi")
         # bfs: (seed, page, dist, sigma) for settled nodes; frontier = rows
-        # at the current level.
+        # at the current level. sigma sums ride in DECIMAL(38,0) on the
+        # ladder path so the FORWARD accumulation cannot wrap either.
+        sigma_t = "decimal(38,0)" if use_decimal else "bigint"
         bfs = s.select(
             F.col("page").alias("seed"),
             F.col("page").alias("page"),
             F.lit(0).cast("bigint").alias("dist"),
-            F.lit(1).cast("bigint").alias("sigma"),
+            F.lit(1).cast(sigma_t).alias("sigma"),
         ).localCheckpoint(eager=True)
         frontier = bfs
         depth = 0
@@ -122,10 +135,11 @@ def betweenness_micros(
         # DECIMAL(38,0) ladder (the stats_extendedprice lesson) — RAISE
         # rather than silently wrap.
         max_sigma = bfs.agg(F.max("sigma")).first()[0] or 0
-        if max_sigma > MICROS:
+        if max_sigma > MICROS and not use_decimal:
             raise RuntimeError(
                 f"betweenness sigma overflow guard: max sigma {max_sigma} "
-                "> 1e6; switch to DECIMAL accumulation for this graph"
+                "> 1e6; re-run with use_decimal=True (exact DECIMAL(38,0) "
+                "ladder) for this graph"
             )
         # backward: delta at the deepest level is 0; walk levels down.
         acc: DataFrame | None = None  # settled deltas for levels > current
@@ -153,12 +167,16 @@ def betweenness_micros(
                 .select(
                     "seed",
                     "page",
-                    # pure BIGINT multiply + integer DIV: identical floor
-                    # semantics in both engines on non-negative operands,
-                    # no double rounding. Magnitude guard below keeps the
-                    # product inside int64.
+                    # pure integer multiply + exact integral DIV: identical
+                    # floor semantics in both engines on non-negative
+                    # operands, no double rounding. BIGINT under the
+                    # magnitude guard; DECIMAL(38,0) ladder for graphs
+                    # whose sigma outgrows it (same floor, 10^38 headroom).
                     F.expr(
-                        f"CAST((sigma * ({MICROS} + dw)) DIV sw AS BIGINT)"
+                        f"CAST((CAST(sigma AS DECIMAL(38,0)) * ({MICROS} + dw))"
+                        " DIV sw AS BIGINT)"
+                        if use_decimal
+                        else f"CAST((sigma * ({MICROS} + dw)) DIV sw AS BIGINT)"
                     ).alias("c"),
                 )
                 .groupBy("seed", "page")

@@ -106,6 +106,22 @@ def test_multi_path_sigma_split(spark):
     _check(spark, e, [0])
 
 
+def test_decimal_ladder_matches_bigint_path(spark):
+    got_i = {
+        r["page"]: r["betweenness_micros"]
+        for r in betweenness_micros(
+            _df(spark, BARBELL), _seed_df(spark, [0, 10])
+        ).collect()
+    }
+    got_d = {
+        r["page"]: r["betweenness_micros"]
+        for r in betweenness_micros(
+            _df(spark, BARBELL), _seed_df(spark, [0, 10]), use_decimal=True
+        ).collect()
+    }
+    assert got_i == got_d
+
+
 def test_depth_raise(spark):
     e = [(i, i + 1) for i in range(15)]
     with pytest.raises(RuntimeError):
