@@ -205,3 +205,93 @@ def merge_edges(
         raise
     shutil.rmtree(backup)
     return final
+
+
+# ------------------------------------------------- re-export retraction
+
+# Cluster-side form (KG_USE_ICEBERG=1): one transaction-worth of two
+# statements — retract every edge ASSERTED BY a re-exported canonical
+# subject, then append that subject set's fresh extraction.  Iceberg's
+# MERGE cannot delete target rows absent from the source relation, so
+# re-export is canonically DELETE + APPEND (both statements partition-prune
+# on pred and use the subj equality pushed into the delete scan).
+RETRACT_REEXPORTED_SQL = """
+DELETE FROM {ns}.edges
+WHERE subj IN (SELECT subj FROM reexported_subjects)
+"""
+
+
+def reexport_merge_delta(
+    existing: DataFrame, delta: DataFrame, reexported_subjects: DataFrame
+) -> DataFrame:
+    """Re-export semantics as a DataFrame transform (the parquet twin and
+    the definition the Iceberg DELETE+APPEND path must match).
+
+    A Confluence space re-export supersedes every edge its pages asserted
+    before: upsert semantics (merge_edges_delta) would double-count
+    n_sources and keep stale links a page no longer makes.  Contract:
+    `delta` is the COMPLETE fresh extraction for the canonical subjects in
+    `reexported_subjects` (a `subj` column; the set must be closed over
+    alias groups — re-export whole spaces, which is what the reference's
+    per-space export produces), and the result equals a from-scratch
+    rebuild with the new content:
+
+        reexport_merge_delta(build(old), extract(new_B), subjects(B))
+            == build(old \\ B ∪ new_B)
+
+    — the property the pipeline-level test pins exactly.
+
+    Scale shape: ONE subj-keyed anti join (broadcastable when the
+    re-exported space list is small, the common case) + a union; no key
+    wider than the edge key, no driver collect."""
+    retained = existing.join(
+        reexported_subjects.select("subj").distinct(), "subj", "anti"
+    )
+    return retained.unionByName(delta.select(*existing.columns))
+
+
+def reexport_merge(
+    spark: SparkSession,
+    warehouse: str,
+    delta: DataFrame,
+    reexported_subjects: DataFrame,
+) -> str:
+    """Apply a re-export (retraction + fresh edges) to the edges table:
+    DELETE + append on Iceberg, staged read-merge-swap on parquet (the
+    merge_edges crash-recovery discipline, including bak-restore)."""
+    if _use_iceberg():
+        reexported_subjects.createOrReplaceTempView("reexported_subjects")
+        spark.sql(RETRACT_REEXPORTED_SQL.format(ns=_namespace()))
+        delta.writeTo(f"{_namespace()}.edges").append()
+        return f"{_namespace()}.edges"
+    final = os.path.join(warehouse, "edges")
+    if not os.path.exists(final):
+        import glob
+        import shutil
+
+        remnants = sorted(glob.glob(f"{final}.bak-*"), key=os.path.getmtime)
+        if remnants:
+            os.rename(remnants[-1], final)
+            for r in remnants[:-1]:
+                shutil.rmtree(r)
+            for s in glob.glob(os.path.join(warehouse, "edges_merge_*")):
+                shutil.rmtree(s)
+        else:
+            delta.write.mode("overwrite").partitionBy("pred").parquet(final)
+            return final
+    existing = load_table(spark, warehouse, "edges")
+    merged = reexport_merge_delta(existing, delta, reexported_subjects)
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="edges_merge_", dir=warehouse)
+    merged.write.mode("overwrite").partitionBy("pred").parquet(staging)
+    backup = f"{final}.bak-{os.path.basename(staging)}"
+    os.rename(final, backup)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        os.rename(backup, final)
+        raise
+    shutil.rmtree(backup)
+    return final
