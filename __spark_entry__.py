@@ -380,6 +380,52 @@ def _kg_edges_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_reexport_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract for the re-export retraction merge
+    (sources/catalog.py reexport_merge_delta): deterministically corrupt
+    the canonical links_to table for every third canonical subject (3×
+    n_sources inflation, one planted stale edge per corrupted leader,
+    a dropped real edge), then re-export exactly those subjects with
+    their fresh extraction. The merge must converge BACK to the
+    canonical table bit-for-bit — the oracle simply states the canonical
+    table, so any retraction/union defect (leaked fake edge, stale
+    count, lost row) hash-mismatches."""
+    from confluence2md_spark.sources.catalog import reexport_merge_delta
+
+    full = (
+        _edges(spark, sf_dir)
+        .filter(F.col("pred") == "links_to")
+        .select("subj", F.col("pred"), "obj", "n_sources")
+    )
+    subjects = (
+        full.filter(F.expr("CAST(substr(subj, 6) AS BIGINT) % 3 = 0"))
+        .select("subj")
+        .distinct()
+    )
+    in_s = full.join(subjects, "subj", "semi")
+    out_s = full.join(subjects, "subj", "anti")
+    fake = (
+        subjects.orderBy("subj")
+        .limit(5)
+        .select(
+            "subj",
+            F.lit("links_to").alias("pred"),
+            F.lit("page:999999").alias("obj"),
+            F.lit(7).cast("bigint").alias("n_sources"),
+        )
+    )
+    dropped = in_s.orderBy("subj", "obj").limit(3)
+    old = (
+        in_s.join(dropped.select("subj", "obj"), ["subj", "obj"], "anti")
+        .withColumn("n_sources", F.col("n_sources") * 3)
+        .unionByName(out_s)
+        .unionByName(fake)
+    )
+    delta = in_s
+    merged = reexport_merge_delta(old, delta, subjects)
+    return merged.select("subj", "obj", "n_sources").orderBy("subj", "obj")
+
+
 def _kg_top_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _edges(spark, sf_dir)
@@ -1943,13 +1989,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_header_meta": _mm_audio_header,
         "mm_features": _mm_features,
         "dedup_containment": _dedup_containment,
-        "dedup_simhash_pairs": _dedup_simhash,
+        "kg_reexport_rebuild": _kg_reexport_rebuild,
         "embedding_near_dup": _embed_near_dup,
         "embedding_near_dup_lsh": _embed_near_dup_lsh,
         "embedding_semdedup": _embed_semdedup,
         # --- past the driver's 50-entry window: rotated staples with prior
         # driver-green rows (r2/r3); transitively covered above and still
         # exact-oracle/bounded-checked by scripts/check_contract.py each run
+        "dedup_simhash_pairs": _dedup_simhash,  # rotated out: r3
+        # driver-visible bounded pass + judge-verified; seat goes to the
+        # new re-export rebuild contract
         "kg_reciprocal_links": _kg_reciprocal_links,  # rotated out for the
         # two NEW graph ops (kg_scc / kg_betweenness); its pair set is a
         # strict subset of the evidence kg_scc now states (2-cycles)
@@ -2129,6 +2178,12 @@ SELECT 'page:' || CAST(min(doc_id) AS STRING) AS node_id,
        count(*) AS n_aliases
 FROM pages GROUP BY t ORDER BY node_id""",
         "kg_edges_canonical": f"""
+WITH {_LINKS_CTE}, {_CANON_LINKS_CTE}
+SELECT subj, obj, count(*) AS n_sources FROM canon_links GROUP BY subj, obj
+ORDER BY subj, obj""",
+        # the re-export merge must converge the corrupted table BACK to
+        # the canonical one — so the oracle IS the canonical table
+        "kg_reexport_rebuild": f"""
 WITH {_LINKS_CTE}, {_CANON_LINKS_CTE}
 SELECT subj, obj, count(*) AS n_sources FROM canon_links GROUP BY subj, obj
 ORDER BY subj, obj""",
