@@ -1817,10 +1817,26 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract shape note (VERDICT r4 item 2): extract_features keeps its
+    array<float> output for the ANN bridge, but the DRIVER-facing contract
+    posexplodes it to hashable scalar rows (doc_id, dim_idx, val_u16) —
+    the driver's pandas canonicalizer cannot sort/factorize list cells.
+    val_u16 round-trips the u16 the feature was built from: the float32
+    stores fl32(u/65535.0) with relative error ~1.2e-7, so round(v*65535)
+    recovers u exactly."""
     from confluence2md_spark.operators.multimodal import extract_features
 
     media = attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return extract_features(media, dim=16)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "val")
+    ).select(
+        "doc_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round(F.col("val").cast("double") * F.lit(65535.0))
+        .cast("bigint")
+        .alias("val_u16"),
+    ).orderBy("doc_id", "dim_idx")
 
 
 def _mm_image_header(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2829,12 +2845,11 @@ SELECT doc_id, frame_idx, duration * frame_idx / 4 AS ts_seconds,
                          ELSE substr(text, CAST(lo + 1 AS INT), 64) END)) AS frame_sha256
 FROM f ORDER BY doc_id, frame_idx""",
         "mm_features": f"""
-SELECT doc_id,
-       CAST(list_transform(range(0, 16),
-            i -> ({_hexbyte_at('lower(sha256(text))', 'CAST(2*i AS INT)')} * 256
-                  + {_hexbyte_at('lower(sha256(text))', 'CAST(2*i+1 AS INT)')}) / 65535.0)
-            AS FLOAT[]) AS embedding
-FROM documents""",
+SELECT doc_id, CAST(i AS INT) AS dim_idx,
+       CAST({_hexbyte_at('lower(sha256(text))', 'CAST(2*i AS INT)')} * 256
+            + {_hexbyte_at('lower(sha256(text))', 'CAST(2*i+1 AS INT)')} AS BIGINT) AS val_u16
+FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+ORDER BY doc_id, dim_idx""",
         # rows-only only where the algorithm itself is engine-specific:
         # dedup_minhash_pairs, dedup_simhash_pairs, ann_lsh_topk,
         # ann_ivf_topk, approx_distinct_customers — each carries a

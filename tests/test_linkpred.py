@@ -37,7 +37,7 @@ def _mirror(edge_list, max_degree, topk):
     scores: dict[tuple[str, str], list[int]] = {}
     for z, nbrs in adj.items():
         d = len(nbrs)
-        if d > max_degree:
+        if d < 2 or d > max_degree:
             continue
         term = 10**12 // math.floor(10**6 * math.log(d))
         ns = sorted(nbrs)
@@ -78,6 +78,22 @@ def test_linkpred_degree_cap_drops_hub_middles(spark):
     # the (x, y) wedge through h is gone: cn drops from 3 (uncapped) to 2
     cn = {r[:2]: r[2] for r in got}
     assert cn[("x", "y")] == 2
+
+
+def test_linkpred_degree_one_node_never_divides_by_zero(spark):
+    """Planted pendant node (degree 1): ln(1)=0, so if the integer AA
+    term is ever projected for it the DIV raises DIVIDE_BY_ZERO under
+    ANSI mode — the exact plan-dependent failure the round-4 driver hit.
+    The d >= 2 filter in link_prediction makes the projection safe
+    regardless of where Catalyst evaluates it, and the pendant cannot be
+    a middle, so results are unchanged."""
+    edges = spark.createDataFrame(
+        _EDGES + [("pendant", "h")], ["subj", "obj"]
+    )
+    got = [tuple(r) for r in link_prediction(edges, topk=50).collect()]
+    assert got == _mirror(_EDGES + [("pendant", "h")], 64, 50)
+    # the pendant shows up in predictions only via middles, never as one
+    assert any("pendant" in r[:2] for r in got)
 
 
 def test_linkpred_twin(spark):
