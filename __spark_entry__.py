@@ -1509,7 +1509,7 @@ def _text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS overlap report: pairs sharing >= 5 winnowed fingerprints (24
     pairs at sf0.01 — the sketch-level view of the 25 containment pairs)."""
-    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"), ordered=True)
 
 
 def _nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1582,7 +1582,7 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (operators/containment.py):
     inverted-index candidates + exact verify; 50 directed rows at
     sf0.01's planted duplicates."""
-    return containment_pairs(_t(spark, sf_dir, "documents"))
+    return containment_pairs(_t(spark, sf_dir, "documents"), ordered=True)
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,13 +1768,21 @@ def _corpus_final_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass vacuously (the VERDICT r3 evidence rule); the contract input
     therefore plants a duplicate of every 41st document under a shifted
     doc_id via ONE relational expression both engines evaluate
-    identically — every planted copy must land in 1_exact_dup."""
+    identically — every planted copy must land in 1_exact_dup. The shift
+    is max(doc_id)+1 (broadcast 1-row relation / scalar subquery), not a
+    fixed constant, so planted ids can never collide with real ids and
+    fan out the doc_id-keyed langid/repetition joins (ADVICE r4)."""
     from pyspark.sql import Window
 
     base = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    shift = base.agg((F.max("doc_id") + 1).cast("bigint").alias("_shift"))
     docs = base.unionByName(
-        base.filter(F.col("doc_id") % 41 == 0).select(
-            (F.col("doc_id") + 100_000).alias("doc_id"), "lang", "text"
+        base.filter(F.col("doc_id") % 41 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("doc_id") + F.col("_shift")).alias("doc_id"),
+            "lang",
+            "text",
         )
     )
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -2719,7 +2727,9 @@ GROUP BY lang ORDER BY lang""",
 WITH aug AS (
   SELECT doc_id, lang, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 41 = 0
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         lang, text
+  FROM documents WHERE doc_id % 41 = 0
 ),
 m AS (
   SELECT doc_id, hash(text) AS h, length(text) AS hl,

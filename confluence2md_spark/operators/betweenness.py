@@ -129,18 +129,36 @@ def betweenness_micros(
             _release_local_checkpoint(nxt)
             bfs, frontier = nbfs, nbfs.filter(F.col("dist") == depth)
         # Magnitude guard: the backward step computes sigma·(10^6+delta)
-        # in BIGINT. sigma ≤ 10^6 and delta ≤ 10^11 keep the product under
-        # 10^6·(10^6+10^11) ≈ 10^17 < 2^63. Path counts on sparse link
-        # graphs are tiny; a graph dense enough to breach this needs the
-        # DECIMAL(38,0) ladder (the stats_extendedprice lesson) — RAISE
+        # in BIGINT. delta itself is bounded by 10^6 per reachable
+        # successor, so delta ≤ 10^6·R where R = max nodes reachable from
+        # one seed; with sigma ≤ 10^6 the product stays under
+        # 10^6·10^6·(1+R), which fits int64 iff R ≲ 9.2·10^6. Guard BOTH
+        # factors — sigma alone is not enough on a large-diameter graph
+        # with millions of reachable nodes per seed — and RAISE with the
+        # DECIMAL(38,0) ladder advice (the stats_extendedprice lesson)
         # rather than silently wrap.
-        max_sigma = bfs.agg(F.max("sigma")).first()[0] or 0
-        if max_sigma > MICROS and not use_decimal:
-            raise RuntimeError(
-                f"betweenness sigma overflow guard: max sigma {max_sigma} "
-                "> 1e6; re-run with use_decimal=True (exact DECIMAL(38,0) "
-                "ladder) for this graph"
+        if not use_decimal:
+            max_sigma = bfs.agg(F.max("sigma")).first()[0] or 0
+            if max_sigma > MICROS:
+                raise RuntimeError(
+                    f"betweenness sigma overflow guard: max sigma "
+                    f"{max_sigma} > 1e6; re-run with use_decimal=True "
+                    "(exact DECIMAL(38,0) ladder) for this graph"
+                )
+            max_reach = (
+                bfs.groupBy("seed")
+                .agg(F.count(F.lit(1)).alias("r"))
+                .agg(F.max("r"))
+                .first()[0]
+                or 0
             )
+            if max_reach > 9_000_000:
+                raise RuntimeError(
+                    f"betweenness delta overflow guard: {max_reach} nodes "
+                    "reachable from one seed bounds delta at "
+                    f"~{max_reach}e6, overflowing sigma*(1e6+delta) in "
+                    "BIGINT; re-run with use_decimal=True"
+                )
         # backward: delta at the deepest level is 0; walk levels down.
         acc: DataFrame | None = None  # settled deltas for levels > current
         for lvl in range(depth - 1, -1, -1):

@@ -292,10 +292,13 @@ def hits_micros(
     Scale shape: unlike PageRank's per-iteration constant (1-d) offset,
     HITS normalizes by a GLOBAL max each half-step, so every half-step
     needs a full materialization regardless — we make that explicit with
-    an eager localCheckpoint per half-step, then collect the 1-row max
-    (bounded driver action) and normalize against a literal divisor.
-    Referencing the raw relation lazily in both the max-agg and the
-    projection instead would double the logical plan per half-step
+    an eager localCheckpoint per half-step, then normalize against a
+    broadcast 1-row max relation (the PPR stats pattern — no per-iteration
+    driver collect, so no driver round-trip of job latency per half-step
+    on a cluster). Both the max-agg and the projection reference the
+    CHECKPOINTED relation, so lineage stays flat; referencing the raw
+    relation lazily in both instead would double the logical plan per
+    half-step
     (2^(2·iters) subtree copies — measured minutes of Catalyst time at
     iters=4 on a 6-edge graph). Superseded checkpoints are released as
     soon as the next half-step materializes past them, so peak cache is
@@ -320,10 +323,13 @@ def hits_micros(
         # older has been folded into a newer materialization
         while len(ckpts) > 2:
             _release_local_checkpoint(ckpts.pop(0))
-        mx = rel.agg(F.max(col).alias("m")).collect()[0][0]
-        return rel.select(
+        mx = rel.agg(F.max(col).alias("_mx"))
+        # max_raw >= 1e6 always (the previous argmax has an incident
+        # edge), so `_mx DIV 1e6` is never 0 — same flooring order as the
+        # literal-divisor form this replaces, mirrored in the twin.
+        return rel.crossJoin(F.broadcast(mx)).select(
             "page",
-            F.expr(f"{col} DIV {mx // 1_000_000}").cast("bigint").alias(col),
+            F.expr(f"{col} DIV (_mx DIV 1000000)").cast("bigint").alias(col),
         )
 
     try:

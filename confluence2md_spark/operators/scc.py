@@ -190,6 +190,11 @@ def scc(
             _release_local_checkpoint(mark)
             _release_local_checkpoint(emitted)
             active = nxt_active
+        if done is None:
+            # no non-self-loop edges: the induced graph has no nodes, so
+            # the answer is the empty relation (matches the DuckDB twin,
+            # whose recursive CTE yields nothing) — typed off the input.
+            return nodes.select("page", F.col("page").alias("scc_id")).limit(0)
         out = done.orderBy("page").localCheckpoint(eager=True)
         _release_local_checkpoint(done)
         return out

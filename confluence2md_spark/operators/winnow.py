@@ -133,6 +133,7 @@ def winnow_overlap_pairs(
     w: int = W_WINDOW,
     min_shared: int = MIN_SHARED_FPS,
     max_df: int = 1000,
+    ordered: bool = False,
 ) -> DataFrame:
     """(src, dst, n_shared): document pairs sharing >= min_shared winnowed
     fingerprint hashes — the MOSS overlap report. Because fingerprints are
@@ -140,7 +141,11 @@ def winnow_overlap_pairs(
     co-occurrence join (operators/containment.py): the same inverted-index
     shape over a far smaller relation. Fingerprints with corpus df >
     max_df are dropped before the self-join (the standard stopword-gram
-    cut, mirrored in the twin)."""
+    cut, mirrored in the twin).
+
+    ordered=True funnels the survivor pairs to one partition for a
+    deterministic total order — contract/test use only; the production
+    default leaves the pair set distributed (docs/SCALE.md trap 15)."""
     fps = (
         winnow_fingerprints(docs, text_col, id_col, k, w, ordered=False)
         .select(F.col("doc_id"), "fp")
@@ -148,7 +153,7 @@ def winnow_overlap_pairs(
     )
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     rare = fps.join(df_counts.filter(F.col("df") <= max_df).select("fp"), "fp")
-    return (
+    out = (
         rare.alias("a")
         .join(
             rare.alias("b"),
@@ -160,9 +165,10 @@ def winnow_overlap_pairs(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
-        .repartition(1)
-        .sortWithinPartitions("src", "dst")
     )
+    if ordered:
+        out = out.repartition(1).sortWithinPartitions("src", "dst")
+    return out
 
 
 def winnow_overlap_sql_duck(

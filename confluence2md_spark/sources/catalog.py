@@ -220,6 +220,28 @@ DELETE FROM {ns}.edges
 WHERE subj IN (SELECT subj FROM reexported_subjects)
 """
 
+# DELETE + APPEND is two Iceberg commits, not one atomic swap: a failure
+# between them would otherwise durably lose every edge for the re-exported
+# subjects. reexport_merge records the current snapshot id before the DELETE
+# and rolls back to it if the append does not commit — the Iceberg twin of
+# the parquet path's bak-restore discipline. After a hard driver crash (no
+# in-process handler left), recover by hand: read the pre-retraction
+# snapshot id from {ns}.edges.history and run the same CALL.
+CURRENT_SNAPSHOT_SQL = """
+SELECT snapshot_id FROM {ns}.edges.history
+WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1
+"""
+ROLLBACK_SNAPSHOT_SQL = """
+CALL {catalog}.system.rollback_to_snapshot('{ns}.edges', {snapshot_id})
+"""
+
+
+def _catalog() -> str:
+    # catalog half of the CALL procedure target — the namespace knob may or
+    # may not embed it, so it resolves independently (and at call time,
+    # like _namespace)
+    return os.environ.get("KG_CATALOG", "spark_catalog")
+
 
 def reexport_merge_delta(
     existing: DataFrame, delta: DataFrame, reexported_subjects: DataFrame
@@ -260,10 +282,22 @@ def reexport_merge(
     DELETE + append on Iceberg, staged read-merge-swap on parquet (the
     merge_edges crash-recovery discipline, including bak-restore)."""
     if _use_iceberg():
+        ns = _namespace()
         reexported_subjects.createOrReplaceTempView("reexported_subjects")
-        spark.sql(RETRACT_REEXPORTED_SQL.format(ns=_namespace()))
-        delta.writeTo(f"{_namespace()}.edges").append()
-        return f"{_namespace()}.edges"
+        pre = spark.sql(CURRENT_SNAPSHOT_SQL.format(ns=ns)).collect()
+        pre_snapshot = pre[0][0] if pre else None
+        spark.sql(RETRACT_REEXPORTED_SQL.format(ns=ns))
+        try:
+            delta.writeTo(f"{ns}.edges").append()
+        except BaseException:
+            if pre_snapshot is not None:
+                spark.sql(
+                    ROLLBACK_SNAPSHOT_SQL.format(
+                        catalog=_catalog(), ns=ns, snapshot_id=pre_snapshot
+                    )
+                )
+            raise
+        return f"{ns}.edges"
     final = os.path.join(warehouse, "edges")
     if not os.path.exists(final):
         import glob

@@ -75,16 +75,15 @@ def spacesaving_fold(summary: dict, items: list, m: int) -> dict:
             summary[x] = (1, 0)
         else:
             # evict: lowest count; ties -> lexicographically LAST key, so
-            # the survivor set is deterministic
-            victim = min(summary, key=lambda k: (summary[k][0], _inv(k)))
+            # the survivor set is deterministic. Two-step (min count, then
+            # max key among that count) — a single negated-tuple comparator
+            # inverts prefix pairs ('ab' vs 'abc') and would evict the
+            # lexicographically FIRST of them.
+            min_count = min(c for c, _ in summary.values())
+            victim = max(k for k, (c, _) in summary.items() if c == min_count)
             vc, _ = summary.pop(victim)
             summary[x] = (vc + 1, vc)
     return summary
-
-
-def _inv(s: str) -> tuple:
-    # orders ties by REVERSED lexicographic rank without bytes tricks
-    return tuple(-ord(ch) for ch in s)
 
 
 def streaming_heavy_hitters(

@@ -109,13 +109,47 @@ def test_reexport_iceberg_branch(monkeypatch):
     monkeypatch.setenv("KG_NAMESPACE", "testns")
     sp = mock.MagicMock()
     delta, subjects = mock.MagicMock(), mock.MagicMock()
+    sp.sql.return_value.collect.return_value = [(4242,)]
     out = catalog.reexport_merge(sp, "/ignored", delta, subjects)
     assert out == "testns.edges"
     subjects.createOrReplaceTempView.assert_called_once_with(
         "reexported_subjects"
     )
-    sp.sql.assert_called_once_with(
-        catalog.RETRACT_REEXPORTED_SQL.format(ns="testns")
-    )
+    # snapshot recorded BEFORE the retraction; no rollback on success
+    assert sp.sql.call_args_list == [
+        mock.call(catalog.CURRENT_SNAPSHOT_SQL.format(ns="testns")),
+        mock.call(catalog.RETRACT_REEXPORTED_SQL.format(ns="testns")),
+    ]
     delta.writeTo.assert_called_once_with("testns.edges")
     delta.writeTo.return_value.append.assert_called_once_with()
+
+
+def test_reexport_iceberg_rolls_back_on_append_failure(monkeypatch):
+    """A crash between the DELETE and the APPEND commits must not durably
+    lose the retracted edges: the pre-DELETE snapshot is restored."""
+    monkeypatch.setenv("KG_USE_ICEBERG", "1")
+    monkeypatch.setenv("KG_NAMESPACE", "testns")
+    monkeypatch.setenv("KG_CATALOG", "cat")
+    sp = mock.MagicMock()
+    sp.sql.return_value.collect.return_value = [(777,)]
+    delta, subjects = mock.MagicMock(), mock.MagicMock()
+    delta.writeTo.return_value.append.side_effect = RuntimeError("boom")
+    try:
+        catalog.reexport_merge(sp, "/ignored", delta, subjects)
+        raise AssertionError("append failure must propagate")
+    except RuntimeError:
+        pass
+    assert sp.sql.call_args_list == [
+        mock.call(catalog.CURRENT_SNAPSHOT_SQL.format(ns="testns")),
+        mock.call(catalog.RETRACT_REEXPORTED_SQL.format(ns="testns")),
+        mock.call(
+            catalog.ROLLBACK_SNAPSHOT_SQL.format(
+                catalog="cat", ns="testns", snapshot_id=777
+            )
+        ),
+    ]
+
+
+def test_snapshot_sql_parses(spark):
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(catalog.CURRENT_SNAPSHOT_SQL.format(ns="kg"))

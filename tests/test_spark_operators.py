@@ -1455,7 +1455,7 @@ def test_containment_hand_computed(spark):
         (2, "totally different words with no overlap at all here friend"),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    got = [tuple(r) for r in containment_pairs(docs).collect()]
+    got = [tuple(r) for r in containment_pairs(docs, ordered=True).collect()]
 
     # all 5 of inner's 3-grams appear in outer -> cont(0 -> 1) = 1.0;
     # outer has 29 grams so cont(1 -> 0) is far below threshold.
@@ -1483,7 +1483,7 @@ def test_containment_matches_duckdb_twin(spark):
     for j, src in ((20, 0), (21, 1)):
         rows.append((j, rows[src][1] + " extra" + str(j) + " more" + str(j)))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    got = [tuple(r) for r in containment_pairs(docs).collect()]
+    got = [tuple(r) for r in containment_pairs(docs, ordered=True).collect()]
 
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
@@ -1717,7 +1717,7 @@ def test_winnow_overlap_matches_duckdb_twin(spark):
     # plant heavy overlap: doc 12 = doc 0 with a new tail
     rows.append((12, rows[0][1] + " tail12 tail13 tail14"))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    got = [tuple(r) for r in winnow_overlap_pairs(docs, min_shared=3).collect()]
+    got = [tuple(r) for r in winnow_overlap_pairs(docs, min_shared=3, ordered=True).collect()]
 
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
