@@ -39,11 +39,15 @@ def main() -> int:
 
     # --- KG pipeline end-to-end (detect -> convert -> extract -> link ->
     #     canonicalize -> materialize), including parquet sinks.
-    # Best-of-2: this VM shows multi-second noise spikes on single runs
+    # Best-of-3: this VM shows multi-second noise spikes on single runs
     # (see BASELINE.md calibration); per-stage minima estimate the
-    # noise-free time the way microbenchmark best-of-N does.
+    # noise-free time the way microbenchmark best-of-N does. N=3 (r5, was
+    # 2): a controlled A/B showed the FIRST in-process run carries 2-3x
+    # JIT/warm-up on every stage and the spike band got wider this round
+    # (same-code pages stage: 16.9 -> 8.9 -> 5.0 s across three
+    # consecutive runs), so two samples often hold zero quiet ones.
     runs = []
-    for attempt in range(2):
+    for attempt in range(3):
         wh = tempfile.mkdtemp(prefix="bench_kgwh_")
         try:
             raw = synth_raw_files(spark, SF_DIR, replicate=REPLICATE)
@@ -105,15 +109,23 @@ def main() -> int:
         "text_token_stats",
         "text_fingerprint",
     ]
-    for name in headline:
-        best = None
-        for _ in range(2):
+    # Round-robin sweeps, not N consecutive attempts per query: the VM's
+    # stall bands last minutes (r5 measured one clobber all 3 back-to-back
+    # attempts of a 2-second query to 42 s), so consecutive attempts are
+    # CORRELATED samples. Interleaving gives every query one sample per
+    # sweep; the per-query minimum then only needs ONE sweep to land in a
+    # quiet window.
+    best: dict[str, float] = {}
+    for _sweep in range(4):
+        for name in headline:
             t0 = time.monotonic()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    for name in headline:
+        timings[name] = round(best[name], 3)
 
     total = round(sum(timings.values()), 3)
     print(
