@@ -1,0 +1,69 @@
+"""Portable HyperLogLog (functions/hll.py): twin equality, accuracy band,
+small-range (linear-counting) branch, and the map-side scale shape."""
+
+from __future__ import annotations
+
+import duckdb
+
+from confluence2md_spark.functions.hll import (
+    M_REGS,
+    hll_distinct_portable,
+    hll_distinct_portable_sql_duck,
+)
+
+
+def test_hll_twin_equality_and_error_band(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = [
+        tuple(r)
+        for r in hll_distinct_portable(orders, "o_custkey", ["o_orderpriority"])
+        .orderBy("o_orderpriority")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    want = [
+        tuple(r)
+        for r in con.sql(
+            hll_distinct_portable_sql_duck("orders", "o_custkey", ["o_orderpriority"])
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 5
+    exact = dict(
+        con.sql(
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    for grp, est_micros in got:
+        err = abs(est_micros / 1e6 - exact[grp]) / exact[grp]
+        # deterministic fixed-hash estimate; 3x the 1.04/sqrt(m) band as
+        # the hard ceiling, and the measured values sit inside 1x
+        assert err < 3 * 1.04 / M_REGS**0.5, (grp, est_micros, exact[grp])
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 5 distinct keys << m: most registers empty -> the linear-counting
+    # branch must fire, and m*ln(m/V) with V >= m-5 is within 1 of exact
+    df = spark.createDataFrame(
+        [(k, "g") for k in range(5) for _ in range(3)], "k LONG, grp STRING"
+    )
+    [(grp, est_micros)] = hll_distinct_portable(df, "k", ["grp"]).collect()
+    assert grp == "g"
+    assert abs(est_micros / 1e6 - 5) < 1.0
+
+
+def test_hll_shuffle_is_register_bounded(spark, sf_dir):
+    """The groupBy(group, reg) partial-agg means at most m rows per group
+    reach the final fold — the plan must show a partial HashAggregate
+    before the exchange (map-side combine), the HLL scale story."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = (
+        hll_distinct_portable(orders, "o_custkey", ["o_orderpriority"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    # partial agg appears before the first shuffle exchange in the plan tree
+    first_ex = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_ex:], "final agg after exchange"
