@@ -183,6 +183,8 @@ from confluence2md_spark.operators.triples import (
     extract_heading_triples,
 )
 from confluence2md_spark.functions.textstats import (
+    FINGERPRINT_DUCK,
+    FINGERPRINT_SPARK,
     STOPWORDS_EN,
     bpe_token_stats,
     bpe_token_stats_sql_duck,
@@ -1078,6 +1080,49 @@ def _approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_portable(
         _t(spark, sf_dir, "orders"), "o_custkey", ["o_orderpriority"]
     ).orderBy("o_orderpriority")
+
+
+def _events_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampled quantiles — the hash-verifiable
+    counterpart of events_quantiles_approx (GK sketch, engine-specific,
+    bounded): keep the rows whose portable mixed hash of event_id is
+    0 mod 4 (a fixed 25% Bernoulli sample BOTH engines reproduce
+    row-for-row), then take the exact discrete quantiles of the sample
+    with the rank-window device of events_value_quantiles. Sampling
+    error is the standard 1/sqrt(n_sample) rank band (pytest pins the
+    measured error); the estimate itself is hash-exact vs the twin.
+    Scale shape: the map-side hash filter drops 75% of the stream before
+    the only shuffle (rank window over the sample, keyed on event_type);
+    at 100 TB the rate is the knob that sizes the sample."""
+    from confluence2md_spark.functions.hll import _MERSENNE, _MIX_A, _MIX_B
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.expr(FINGERPRINT_SPARK.format(t="CAST(event_id AS STRING)"))
+    s = ev.filter((h * _MIX_A + _MIX_B) % _MERSENNE % 4 == 0)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = s.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+        )
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            pick(0.25).alias("p25"),
+            pick(0.50).alias("p50"),
+            pick(0.75).alias("p75"),
+            F.max("n").alias("n_sample"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,7 +2077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _kg_ppr,  # G r4
         "kg_communities": _kg_communities,  # G r4
         "kg_modularity": _kg_modularity,  # G r4
-        "kg_triangles": _kg_triangles,  # G r4
+        "events_quantiles_sampled": _events_quantiles_sampled,  # new r5:
+        # hash-sampled deterministic quantiles with an exact twin — the
+        # verifiable counterpart of the GK sketch; seat freed by rotating
+        # out kg_triangles (G r4; per-edge triangle counts are the support
+        # values in-window kg_ktruss peels, so a regression breaks it)
         "kg_kcore": _kg_kcore,  # G r4
         "kg_ktruss": _kg_ktruss,  # G r4
         "kg_scc": _kg_scc,  # G r4
@@ -2117,6 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window kg_betweenness, whose BFS layers use the same edges)
         "kg_community_rollup": _kg_community_rollup,  # G r4 — rotated out
         # (transitively covered by in-window kg_communities/kg_modularity)
+        "kg_triangles": _kg_triangles,  # G r4 — rotated out for the
+        # sampled-quantiles seat (supports in-window kg_ktruss transitively)
         "embedding_semdedup": _embed_semdedup,  # bounded-only (k-means
         # cells are engine-specific; no exact twin exists) — no_oracle r4;
         # carried by _check_semdedup_bound + pytest
@@ -2652,6 +2703,27 @@ SELECT event_type,
        max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
        max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS p75,
        max(n) AS n
+FROM ranked GROUP BY event_type ORDER BY event_type""",
+        # identical mixed portable hash of event_id selects the SAME 25%
+        # sample in both engines; quantiles over the sample are then the
+        # exact rank-window device above
+        "events_quantiles_sampled": f"""
+WITH s AS (
+  SELECT event_type, value, event_id FROM events
+  WHERE (({FINGERPRINT_DUCK.format(t="CAST(event_id AS VARCHAR)")})
+         * 1103515245 + 12345) % 2147483647 % 4 = 0
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS p75,
+       max(n) AS n_sample
 FROM ranked GROUP BY event_type ORDER BY event_type""",
         # gap uses floor(epoch) on both engines: Spark's unix_timestamp()
         # truncates to whole seconds, DuckDB's epoch() keeps microseconds —

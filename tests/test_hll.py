@@ -67,3 +67,28 @@ def test_hll_shuffle_is_register_bounded(spark, sf_dir):
     # partial agg appears before the first shuffle exchange in the plan tree
     first_ex = plan.index("Exchange")
     assert "HashAggregate" in plan[first_ex:], "final agg after exchange"
+
+
+def test_sampled_quantiles_track_exact(spark, sf_dir):
+    """events_quantiles_sampled (deterministic 25% hash sample) must track
+    the exact quantiles within the 1/sqrt(n_sample) rank band — here
+    pinned as a relative-value tolerance on the contract corpus."""
+    import __spark_entry__ as e
+
+    sampled = {
+        r["event_type"]: r
+        for r in e.queries()["events_quantiles_sampled"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in e.queries()["events_value_quantiles"](spark, sf_dir).collect()
+    }
+    assert set(sampled) == set(exact)
+    for et, srow in sampled.items():
+        xrow = exact[et]
+        # sf0.001 has ~190 events per type -> ~47 sampled at 25%
+        assert srow["n_sample"] > 20  # the 25% sample actually sampled
+        for p in ("p25", "p50", "p75"):
+            spread = xrow["p75"] - xrow["p25"]
+            assert abs(srow[p] - xrow[p]) <= max(0.5 * spread, 1e-9), (
+                et, p, srow[p], xrow[p])
