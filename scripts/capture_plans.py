@@ -142,6 +142,19 @@ def main() -> int:
          "relaxation deep — the visible plan is a single node-keyed "
          "join + groupBy-min over the LAST materialized round, not "
          "2^iters stacked copies"),
+        ("dedup_minhash_portable",
+         "portable MinHash twin: signatures are a map-side array "
+         "transform; the band equi-join keys the only candidate Exchange; "
+         "the verify join is candidate-sized (shingle arrays re-enter "
+         "only against surviving pairs)"),
+        ("approx_distinct_portable",
+         "portable HLL: partial HashAggregate on (group, register) "
+         "combines map-side, so the Exchange carries at most 64 register "
+         "rows per group at ANY input size"),
+        ("events_quantiles_sampled",
+         "hash-sampled quantiles: the portable-hash Bernoulli filter is "
+         "map-side BEFORE the only Exchange (rank window over the 25% "
+         "sample, keyed on event_type)"),
         ("corpus_final_ledger",
          "curation capstone cascade: one pruned (doc_id, lang, text) scan "
          "fans into the dup-rank window (16-byte hash key), the langid "
