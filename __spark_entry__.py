@@ -47,6 +47,7 @@ from confluence2md_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from confluence2md_spark.functions.hll import hll_distinct_portable_sql_duck
+from confluence2md_spark.operators.bloom import bloom_decontaminate_sql_duck
 from confluence2md_spark.operators.portable_dedup import (
     minhash_portable_pairs,
     minhash_portable_sql_duck,
@@ -1720,6 +1721,21 @@ def _text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter decontamination (operators/bloom.py): fixed
+    64Ki-bit broadcast footprint at ANY benchmark size — the device that
+    replaces the exact broadcast gram set when the benchmark suite outgrows
+    it. The filter is built from portable integer arithmetic in BOTH
+    engines, so membership decisions — including the deterministic false
+    positives (2 docs at sf0.01, vs 15 true hits) — hash-match exactly.
+    No false negatives by construction (pytest pins superset-of-exact)."""
+    from confluence2md_spark.operators.bloom import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return bloom_decontaminate(docs, bench, ordered=True)
+
+
 def _curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/curation.py): the synthetic
     'benchmark' is an 8-token window (tokens 3..10) of every 37th document
@@ -2108,7 +2124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": _text_winnow,  # G r4
         "text_winnow_overlap": _text_winnow_overlap,  # G r4
         "bm25_topk": _bm25_topk,  # G r4
-        "bm25_topk_dfcap": _bm25_topk_dfcap,  # G r4
+        "curation_bloom_decontaminate": _curation_bloom_decontaminate,
+        # new r5: portable Bloom membership with a hash-exact twin (even
+        # the false positives match); seat freed by rotating out
+        # bm25_topk_dfcap (G r4 — bm25_topk stays in-window; the df-cap
+        # discipline is also exercised in-window by dedup_containment)
         "curation_decontaminate": _curation_decontaminate,  # G r4
         "curation_stratified_sample": _curation_stratified_sample,  # G r4
         "curation_pack_chunks": _curation_pack_chunks,  # G r4
@@ -2168,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (transitively covered by in-window kg_communities/kg_modularity)
         "kg_triangles": _kg_triangles,  # G r4 — rotated out for the
         # sampled-quantiles seat (supports in-window kg_ktruss transitively)
+        "bm25_topk_dfcap": _bm25_topk_dfcap,  # G r4 — rotated out for the
+        # Bloom-decontaminate seat (bm25_topk remains in-window)
         "embedding_semdedup": _embed_semdedup,  # bounded-only (k-means
         # cells are engine-specific; no exact twin exists) — no_oracle r4;
         # carried by _check_semdedup_bound + pytest
@@ -2928,6 +2950,7 @@ FROM j GROUP BY verdict ORDER BY verdict""",
                 + " AS text FROM documents) aug"
             )
         ),
+        "curation_bloom_decontaminate": bloom_decontaminate_sql_duck(),
         "dedup_minhash_portable": minhash_portable_sql_duck(),
         "dedup_simhash_portable": simhash_portable_sql_duck(),
         "approx_distinct_portable": hll_distinct_portable_sql_duck(

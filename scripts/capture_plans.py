@@ -142,6 +142,11 @@ def main() -> int:
          "relaxation deep — the visible plan is a single node-keyed "
          "join + groupBy-min over the LAST materialized round, not "
          "2^iters stacked copies"),
+        ("curation_bloom_decontaminate",
+         "portable Bloom decontamination: the <=2048-word filter relation "
+         "re-enters as three BroadcastExchanges onto the probe stream — "
+         "the corpus side never shuffles gram data; the only corpus "
+         "Exchange is the doc_id-keyed count"),
         ("dedup_minhash_portable",
          "portable MinHash twin: signatures are a map-side array "
          "transform; the band equi-join keys the only candidate Exchange; "
