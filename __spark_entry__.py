@@ -172,6 +172,7 @@ from confluence2md_spark.operators.similarity import (
     brute_force_topk_sql_duck,
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
+    embedding_near_dup_allpairs_sql_duck,
     embedding_near_dup_sql_duck,
     ivf_topk,
     lsh_ann_topk,
@@ -186,6 +187,9 @@ from confluence2md_spark.operators.triples import (
 from confluence2md_spark.functions.textstats import (
     FINGERPRINT_DUCK,
     FINGERPRINT_SPARK,
+    MERSENNE31,
+    PORTABLE_MIX_A,
+    PORTABLE_MIX_B,
     STOPWORDS_EN,
     bpe_token_stats,
     bpe_token_stats_sql_duck,
@@ -1095,12 +1099,16 @@ def _events_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the map-side hash filter drops 75% of the stream before
     the only shuffle (rank window over the sample, keyed on event_type);
     at 100 TB the rate is the knob that sizes the sample."""
-    from confluence2md_spark.functions.hll import _MERSENNE, _MIX_A, _MIX_B
+    from confluence2md_spark.functions.textstats import (
+        MERSENNE31,
+        PORTABLE_MIX_A,
+        PORTABLE_MIX_B,
+    )
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
     h = F.expr(FINGERPRINT_SPARK.format(t="CAST(event_id AS STRING)"))
-    s = ev.filter((h * _MIX_A + _MIX_B) % _MERSENNE % 4 == 0)
+    s = ev.filter((h * PORTABLE_MIX_A + PORTABLE_MIX_B) % MERSENNE31 % 4 == 0)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = s.select(
         "event_type",
@@ -2727,13 +2735,14 @@ SELECT event_type,
        max(n) AS n
 FROM ranked GROUP BY event_type ORDER BY event_type""",
         # identical mixed portable hash of event_id selects the SAME 25%
-        # sample in both engines; quantiles over the sample are then the
-        # exact rank-window device above
+        # sample in both engines (constants single-sourced from
+        # textstats.PORTABLE_MIX_*); quantiles over the sample are then
+        # the exact rank-window device above
         "events_quantiles_sampled": f"""
 WITH s AS (
   SELECT event_type, value, event_id FROM events
   WHERE (({FINGERPRINT_DUCK.format(t="CAST(event_id AS VARCHAR)")})
-         * 1103515245 + 12345) % 2147483647 % 4 = 0
+         * {PORTABLE_MIX_A} + {PORTABLE_MIX_B}) % {MERSENNE31} % 4 = 0
 ),
 ranked AS (
   SELECT event_type, value,
@@ -2921,7 +2930,11 @@ FROM j GROUP BY verdict ORDER BY verdict""",
             emb=f"({planted_cluster_sql_duck()}) _planted"
         )
         + "\nORDER BY q, rank",
-        "embedding_near_dup_lsh": embedding_near_dup_sql_duck(
+        # label-free all-pairs twin: the LSH path is label-free, so its
+        # oracle must state the unblocked set (review finding — the
+        # blocked twin is narrower and only coincidentally equal on the
+        # planted fixture)
+        "embedding_near_dup_lsh": embedding_near_dup_allpairs_sql_duck(
             emb=f"({planted_cluster_sql_duck()}) _planted", threshold=0.85
         )
         + "\nORDER BY src, dst",
@@ -3079,8 +3092,6 @@ ORDER BY doc_id, dim_idx""",
 # scripts/check_contract.py runs these for every registered query that has
 # no oracle_sql entry; proposed driver-contract extension: run them next to
 # the exact compares and record pass/recall per query.
-
-_N_ANN_QUERIES = 20
 
 
 def _exact_jaccard_sql(threshold: float, n: int = 3) -> str:

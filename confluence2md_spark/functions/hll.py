@@ -38,16 +38,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import FINGERPRINT_DUCK, FINGERPRINT_SPARK
+from .textstats import (
+    FINGERPRINT_DUCK,
+    FINGERPRINT_SPARK,
+    MERSENNE31,
+    PORTABLE_MIX_A,
+    PORTABLE_MIX_B,
+)
 
 P_BITS = 6
 M_REGS = 1 << P_BITS          # 64 registers
-ALPHA_MICROS = 709_340        # floor(1e6 * 0.7213 / (1 + 1.079/64))
-_W_PLUS_1 = 26                # hash value part is 25 bits wide
-_LC_CUT_MICROS = 2_500_000 * M_REGS  # 2.5m in micro-units
-_MERSENNE = 2_147_483_647
-_MIX_A = 1_103_515_245        # large odd multiplier (glibc LCG constant)
-_MIX_B = 12_345
+_MERSENNE = MERSENNE31
+_MIX_A = PORTABLE_MIX_A
+_MIX_B = PORTABLE_MIX_B
+
+# Flajolet et al. 2007 bias-correction constants, integer micros
+_ALPHA_MICROS = {16: 673_000, 32: 697_000, 64: 709_340}
+
+
+def _params(p: int) -> tuple[int, int, int, int]:
+    """(m, w_plus_1, alpha_micros, lc_cut_micros) derived from p — every
+    register-width constant follows p, so non-default precisions stay
+    correct (review finding: the first cut fixed these to p=6, so any
+    other p silently mis-estimated in BOTH engines)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} outside [4, 16]")
+    m = 1 << p
+    w_plus_1 = 32 - p  # hash is 31 bits; value part is 31 - p bits wide
+    if m >= 128:
+        alpha = int(1_000_000 * 0.7213 / (1 + 1.079 / m))
+    else:
+        alpha = _ALPHA_MICROS[m]
+    return m, w_plus_1, alpha, 2_500_000 * m
 
 
 def hll_distinct_portable(
@@ -58,8 +80,11 @@ def hll_distinct_portable(
 ) -> DataFrame:
     """(group_cols..., hll_est_micros): portable-HLL distinct-count
     estimate of key_col per group, in micro-units (DIV 1e6 for the count).
-    Hash-exact against hll_distinct_portable_sql_duck."""
-    m = 1 << p
+    Hash-exact against hll_distinct_portable_sql_duck. NULL keys are
+    dropped before hashing (count-DISTINCT semantics ignore NULLs; an
+    unfiltered NULL would otherwise occupy a phantom register)."""
+    m, _W_PLUS_1, alpha_micros, _LC_CUT_MICROS = _params(p)
+    df = df.filter(F.col(key_col).isNotNull())
     raw_h = FINGERPRINT_SPARK.format(t=f"CAST({key_col} AS STRING)")
     # affine post-mix: the polynomial hash of a SHORT key string never
     # fills the high bits (hash("742") ~ 2^20), which inflates every
@@ -83,7 +108,7 @@ def hll_distinct_portable(
     v_zero = (m - F.col("n_present")).cast("bigint")
     # the numerator is precomputed in Python: writing it as a literal
     # product would overflow INT under Spark 4's ANSI literal arithmetic
-    numer = ALPHA_MICROS * m * m * (1 << _W_PLUS_1)
+    numer = alpha_micros * m * m * (1 << _W_PLUS_1)
     raw = F.expr(f"CAST({numer} AS BIGINT) DIV s_total")
     lc = F.expr(
         f"{m} * (CAST(floor(1000000 * ln({m})) AS BIGINT) "
@@ -112,9 +137,9 @@ def hll_distinct_portable_sql_duck(
     p: int = P_BITS,
 ) -> str:
     """DuckDB twin: identical hash, registers, and integer estimate."""
-    m = 1 << p
+    m, _W_PLUS_1, alpha_micros, _LC_CUT_MICROS = _params(p)
     g = ", ".join(group_cols)
-    numer = ALPHA_MICROS * m * m * (1 << _W_PLUS_1)
+    numer = alpha_micros * m * m * (1 << _W_PLUS_1)
     hash_of = FINGERPRINT_DUCK.format(t=f"CAST({key_col} AS VARCHAR)")
     mixed = f"(({hash_of}) * {_MIX_A} + {_MIX_B}) % {_MERSENNE}"
     return f"""
@@ -122,7 +147,7 @@ WITH proj AS (
   SELECT {g}, ({mixed}) % {m} AS reg,
          CASE WHEN ({mixed}) // {m} = 0 THEN {_W_PLUS_1}
               ELSE {_W_PLUS_1} - length(bin(({mixed}) // {m})) END AS rho
-  FROM {rel}
+  FROM {rel} WHERE {key_col} IS NOT NULL
 ),
 regs AS (SELECT {g}, reg, max(rho) AS mj FROM proj GROUP BY {g}, reg),
 folded AS (

@@ -145,6 +145,17 @@ FINGERPRINT_DUCK = (
     "(h, c) -> (h*31 + c) % 2147483647)"
 )
 
+# Companion constants for the portable hash, single-sourced here so the
+# Spark expressions and the DuckDB twin SQL can never drift (review
+# finding: they were previously duplicated per module + hard-coded in one
+# oracle literal). MERSENNE31 is the fingerprint modulus; the MIX pair is
+# the affine post-mix that scatters SHORT-string fingerprints (which never
+# fill the high bits) across the full 31-bit range before any use that
+# reads bit positions (HLL rho, Bernoulli sampling, Bloom probes).
+MERSENNE31 = 2_147_483_647
+PORTABLE_MIX_A = 1_103_515_245  # large odd multiplier (glibc LCG constant)
+PORTABLE_MIX_B = 12_345
+
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp) rolling polynomial hash — bit-exact vs the oracle."""

@@ -138,20 +138,22 @@ def betweenness_micros(
         # DECIMAL(38,0) ladder advice (the stats_extendedprice lesson)
         # rather than silently wrap.
         if not use_decimal:
-            max_sigma = bfs.agg(F.max("sigma")).first()[0] or 0
+            # one pass over the checkpointed BFS relation for BOTH guard
+            # values (was two separate driver actions — review finding)
+            guard = (
+                bfs.groupBy("seed")
+                .agg(F.count(F.lit(1)).alias("r"), F.max("sigma").alias("ms"))
+                .agg(F.max("r").alias("mr"), F.max("ms").alias("msig"))
+                .first()
+            )
+            max_sigma = guard["msig"] or 0
+            max_reach = guard["mr"] or 0
             if max_sigma > MICROS:
                 raise RuntimeError(
                     f"betweenness sigma overflow guard: max sigma "
                     f"{max_sigma} > 1e6; re-run with use_decimal=True "
                     "(exact DECIMAL(38,0) ladder) for this graph"
                 )
-            max_reach = (
-                bfs.groupBy("seed")
-                .agg(F.count(F.lit(1)).alias("r"))
-                .agg(F.max("r"))
-                .first()[0]
-                or 0
-            )
             if max_reach > 9_000_000:
                 raise RuntimeError(
                     f"betweenness delta overflow guard: {max_reach} nodes "

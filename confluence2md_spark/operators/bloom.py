@@ -31,9 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import FINGERPRINT_DUCK, FINGERPRINT_SPARK
+from ..functions.textstats import FINGERPRINT_DUCK, FINGERPRINT_SPARK, MERSENNE31
 
-_MERSENNE = 2_147_483_647
+_MERSENNE = MERSENNE31
 M_BITS = 65_536               # filter size (2^16 bits = 2048 x 32-bit words)
 WORD_BITS = 32
 N_GRAM = 5                    # same gram width as curation.decontaminate

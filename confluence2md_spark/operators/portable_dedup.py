@@ -43,9 +43,9 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import FINGERPRINT_DUCK, FINGERPRINT_SPARK
+from ..functions.textstats import FINGERPRINT_DUCK, FINGERPRINT_SPARK, MERSENNE31
 
-_MERSENNE = 2_147_483_647  # 2^31 - 1
+_MERSENNE = MERSENNE31
 
 K_SHINGLE = 3     # word-trigram shingles (matches the production default)
 N_PERM = 32       # signature length
@@ -85,6 +85,8 @@ def minhash_portable_pairs(
     deterministic integer arithmetic — hash-exact vs the DuckDB twin.
     Docs with fewer than k tokens have no shingle and emit nothing
     (mirrored by the twin's length guard)."""
+    if n_perm % bands:
+        raise ValueError(f"n_perm={n_perm} not divisible by bands={bands}")
     rows = n_perm // bands
     toks = F.split(F.col(text_col), " ")
     gram_str = (

@@ -562,6 +562,29 @@ WHERE round(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}"""
 
 
+def embedding_near_dup_allpairs_sql_duck(
+    emb: str = "embeddings", threshold: float = 0.95
+) -> str:
+    """LABEL-FREE all-pairs twin — the oracle for the LSH path, which is
+    itself label-free. The blocked twin above (JOIN ON a.blk = b.blk)
+    states a semantically NARROWER set: on the contract fixtures no
+    cross-label pair reaches the threshold so the two agree, but if a
+    fixture or SF change ever produced one, the LSH verify step would
+    correctly emit it and the blocked oracle would spuriously mismatch
+    (review finding). At contract scale (500 x 64-dim vectors) the full
+    O(n^2) cross join is trivial for DuckDB; the blocked form remains the
+    oracle for the contractually label-blocked embedding_near_dup."""
+    return f"""WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {emb}
+)
+SELECT a.id AS src, b.id AS dst,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM base a JOIN base b ON a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}"""
+
+
 # ------------------------------------------------------------- SemDeDup --
 
 

@@ -63,10 +63,16 @@ def test_hll_shuffle_is_register_bounded(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "HashAggregate" in plan
-    # partial agg appears before the first shuffle exchange in the plan tree
-    first_ex = plan.index("Exchange")
-    assert "HashAggregate" in plan[first_ex:], "final agg after exchange"
+    # the (group, reg) PARTIAL aggregate must sit BELOW its Exchange
+    # (map-side combine): everything after the deepest Exchange in the
+    # string rendering is upstream of every shuffle, and it must contain
+    # a partial-mode HashAggregate keyed on reg. (The first cut of this
+    # test only asserted "some HashAggregate somewhere after the first
+    # Exchange", which virtually any groupBy plan satisfies — review
+    # finding: vacuous.)
+    below_last_exchange = plan[plan.rindex("Exchange"):]
+    assert "partial" in below_last_exchange.lower(), "no map-side combine"
+    assert "reg" in below_last_exchange, "pre-shuffle agg not register-keyed"
 
 
 def test_sampled_quantiles_track_exact(spark, sf_dir):
