@@ -46,6 +46,7 @@ from confluence2md_spark.operators.dedup import (
     ngram_jaccard_sql_duck,
     simhash_near_dup_pairs,
 )
+from confluence2md_spark.functions.bpe import bpe_trained_sql_duck
 from confluence2md_spark.functions.hll import hll_distinct_portable_sql_duck
 from confluence2md_spark.operators.bloom import bloom_decontaminate_sql_duck
 from confluence2md_spark.operators.portable_dedup import (
@@ -1716,8 +1717,11 @@ def _text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus word histogram (one distributed agg + bounded driver training),
     applied in Arrow batches. 24 merges on the 31-word synthetic vocabulary
     leaves frequent words whole and rare words split — fertility does real
-    work. Not SQL-expressible (iterative merge learning) → bounded check
-    recomputes merges AND encodings with an independent naive trainer."""
+    work. EXACT twin since late r5: the training loop unrolled into 24
+    materialized CTE steps (bpe_trained_sql_duck — see its docstring for
+    the doubled-space replace device and the encode/train-state
+    equivalence); the independent naive-trainer bounded check remains in
+    pytest as the third opinion."""
     from confluence2md_spark.functions.bpe import bpe_encode_stats, train_bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -2127,7 +2131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_substr_removal": _text_substr_removal,  # G r4
         "text_paragraph_dedup": _text_paragraph_dedup,  # G r4
         "nb_quality_classifier": _nb_quality,  # G r4
-        "nb_quality_calibration": _nb_calibration,  # G r4
+        "text_bpe_trained": _text_bpe_trained,  # no_oracle r4 -> EXACT r5:
+        # the 24-step training loop unrolled into materialized CTEs
+        # (functions/bpe.py bpe_trained_sql_duck); in-window to convert
+        # the last previously-unverifiable sketch to a driver-green row.
+        # Seat freed by rotating out nb_quality_calibration (G r4; it
+        # consumes the same broadcast model + scoring join as in-window
+        # nb_quality_classifier, which pins the shared chain)
         "corpus_select_top30": _corpus_select_top,  # G r4
         "text_winnowing": _text_winnow,  # G r4
         "text_winnow_overlap": _text_winnow_overlap,  # G r4
@@ -2198,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled-quantiles seat (supports in-window kg_ktruss transitively)
         "bm25_topk_dfcap": _bm25_topk_dfcap,  # G r4 — rotated out for the
         # Bloom-decontaminate seat (bm25_topk remains in-window)
+        "nb_quality_calibration": _nb_calibration,  # G r4 — rotated out
+        # for the text_bpe_trained seat (classifier chain stays in-window)
         "embedding_semdedup": _embed_semdedup,  # bounded-only (k-means
         # cells are engine-specific; no exact twin exists) — no_oracle r4;
         # carried by _check_semdedup_bound + pytest
@@ -2205,10 +2217,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Greenwald-Khanna sketch is engine-specific) — no_oracle r4;
         # carried by _check_quantiles_approx_bound; the EXACT percentile
         # contract is events_value_quantiles (G r3)
-        "text_bpe_trained": _text_bpe_trained,  # bounded-only (iterative
-        # merge training has no SQL twin) — no_oracle r4; carried by
-        # _check_bpe_trained; the tokenizer-apply path is text_bpe_tokens
-        # (in-window r5)
         "text_pmi_bigrams": _text_pmi_bigrams,  # G r4
         "text_keywords": _text_keywords,  # G r4
         "text_hashed_tf": _text_hashed_tf,  # G r4
@@ -2969,6 +2977,9 @@ FROM j GROUP BY verdict ORDER BY verdict""",
         "approx_distinct_portable": hll_distinct_portable_sql_duck(
             "orders", "o_custkey", ["o_orderpriority"]
         ),
+        # unrolled 24-step training twin (functions/bpe.py docstring) —
+        # converts the last plausibly twin-able bounded query to exact
+        "text_bpe_trained": bpe_trained_sql_duck(num_merges=24),
         "text_dup_spans": dup_span_sql_duck(),
         "text_substr_spans": duplicated_substring_spans_sql_duck(),
         "text_substr_removal": remove_duplicated_spans_sql_duck(),

@@ -223,3 +223,74 @@ def bpe_encode_stats(
             schema="doc_id long, n_words long, n_bpe_tokens long, fertility_micros long",
         )
     )
+
+
+# ------------------------------------------------------------ DuckDB twin --
+
+def bpe_trained_sql_duck(num_merges: int = 24, docs: str = "documents") -> str:
+    """EXACT DuckDB twin of train_bpe + bpe_encode_stats — the training
+    loop UNROLLED into num_merges materialized CTE steps (the k-truss
+    unrolled-twin device applied to BPE, closing the last plausibly
+    twin-able bounded contract).
+
+    Each step k: argmax pair by (weighted count DESC, pair ASC) over the
+    current segmentation — identical total order to the driver trainer's
+    tie-break — then one Sennrich left-to-right non-overlapping merge pass.
+    Segmentations are stored as ' s1  s2  ...  sk ' (TWO spaces between
+    symbols, one at each end), which makes a plain replace(' a  b ', ' ab ')
+    exactly the non-overlapping left-to-right pass: each match consumes one
+    of the two separator spaces, leaving the boundary space for the next
+    adjacent occurrence ('a a a' -> 'aa a', the greedy answer).
+
+    CTEs MUST be MATERIALIZED: each step references its predecessor twice
+    (argmax + apply), so default inlining doubles the plan per step — 2^24
+    expansion (observed: "Too many open files" before any rows).
+
+    Applying the merges in learned order to the histogram words IS the
+    trainer's final state, and equals the GPT-2-style rank-greedy
+    encode_word the Spark side runs — equivalence verified word-for-word
+    on the contract corpus (test_bpe_twin_matches_encode); the fertility
+    floor mirrors numpy's (n_bpe / n_words) * 1e6 operation order."""
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    steps = [f"""hist AS MATERIALIZED (
+  SELECT word, count(*) AS n FROM (SELECT unnest({toks}) AS word FROM {docs})
+  WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 100000
+),
+s0 AS MATERIALIZED (
+  SELECT word, n,
+         ' ' || array_to_string(list_append(string_split(word, ''), '{END}'), '  ') || ' ' AS seg
+  FROM hist
+)"""]
+    for k in range(num_merges):
+        steps.append(f"""b{k} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b
+  FROM (SELECT n, string_split(trim(seg, ' '), '  ') AS syms FROM s{k}),
+       unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2 ORDER BY sum(n) DESC, a ASC, b ASC LIMIT 1
+),
+s{k + 1} AS MATERIALIZED (
+  SELECT word, n,
+         CASE WHEN b{k}.a IS NULL THEN seg
+              ELSE replace(seg, ' ' || b{k}.a || '  ' || b{k}.b || ' ',
+                                ' ' || b{k}.a || b{k}.b || ' ') END AS seg
+  FROM s{k} LEFT JOIN b{k} ON TRUE
+)""")
+    steps.append(f"""final AS (
+  SELECT word, len(string_split(trim(seg, ' '), '  ')) AS n_pieces
+  FROM s{num_merges}
+),
+stats AS (
+  SELECT d.doc_id, count(*) AS n_words, sum(f.n_pieces) AS n_bpe
+  FROM (SELECT doc_id, unnest({toks}) AS word FROM {docs}) d
+  JOIN final f USING (word)
+  WHERE d.word <> ''
+  GROUP BY d.doc_id
+)""")
+    return "WITH " + ",\n".join(steps) + f"""
+SELECT ids.doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(COALESCE(floor(CAST(n_bpe AS DOUBLE) / n_words * 1000000), 0) AS BIGINT)
+         AS fertility_micros
+FROM (SELECT doc_id FROM {docs}) ids LEFT JOIN stats USING (doc_id)
+ORDER BY ids.doc_id"""

@@ -110,3 +110,48 @@ def test_bpe_encode_stats_fertility(spark, sf_dir):
     f2 = {r["doc_id"]: r["n_bpe_tokens"] for r in rows2}
     assert all(f2[d] <= f1[d] for d in f1)
     assert any(f2[d] < f1[d] for d in f1)
+
+
+def test_bpe_unrolled_sql_twin_matches_spark(spark, sf_dir):
+    """The 24-step unrolled DuckDB training twin must reproduce the
+    Spark-side (driver-trained + Arrow-encoded) stats row-for-row, AND
+    the rank-greedy encode must equal the training-state segmentation
+    for every histogram word (the equivalence the twin relies on)."""
+    import duckdb
+
+    from confluence2md_spark.functions.bpe import (
+        END,
+        bpe_trained_sql_duck,
+        encode_word,
+        word_histogram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=24)
+    got = [
+        tuple(r)
+        for r in bpe_encode_stats(docs, merges)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [tuple(r) for r in con.sql(bpe_trained_sql_duck(num_merges=24)).fetchall()]
+    assert got == want
+
+    # encode/train-state equivalence, word-for-word
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for row in word_histogram(docs).collect():
+        w = row["word"]
+        seq = list(w) + [END]
+        for a, b in merges:
+            out, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            seq = out
+        assert seq == encode_word(w, ranks), w
