@@ -110,9 +110,28 @@ def ngram_jaccard_pairs(
     them through the MinHash/LSH path (minhash_near_dup_pairs), which is
     sub-quadratic by construction. The DuckDB oracle mirrors the cap
     (ngram_jaccard_sql_duck takes the same parameter), so the contract
-    stays exact at any scale."""
+    stays exact at any scale.
+
+    Execution shape (r6): inverted-index join, NOT a block all-pairs join.
+    A pair with jaccard >= threshold > 0 shares >= 1 gram, so candidates
+    are generated by equi-joining the exploded (lang, lb, gram-hash)
+    postings with id< ordering; the per-pair match count IS
+    |grams_a ∩ grams_b| exactly (grams are array_distinct'd per doc), and
+    |union| = ng_a + ng_b − inter, so the jaccard value is bit-identical
+    to the r2 array_intersect/array_union form while never materializing
+    the O(Σ block²) pair relation (sf1.0: 13.6M block pairs × ~50-gram
+    array ops → 1.9M posting-join rows; measured 52.6 s → ~2 s). The
+    quadratic term is now Σ over (block, gram) of df², bounded by the
+    same max_block_size cap; hot grams are rarer than hot blocks (sf1.0
+    max gram df = 19 vs block sizes of 2000)."""
     import logging
 
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0 (a zero threshold "
+            "would include pairs sharing no gram, which the inverted-index "
+            "candidate join by construction never emits)"
+        )
     p = docs.sparkSession.sparkContext.defaultParallelism
     base = (
         docs.repartition(p)  # small parquet arrives as 1 partition
@@ -122,7 +141,6 @@ def ngram_jaccard_pairs(
             (F.floor(F.length(text_col) / length_bucket)).alias("lb"),
             _word_ngrams(F.col(text_col), n).alias("grams"),
         )
-        .repartition(p, "lang", "lb")  # materialize grams once per side
     )
     if max_block_size is not None:
         # census on a gram-free projection (cheap); eager so the drop is loud
@@ -150,20 +168,52 @@ def ngram_jaccard_pairs(
                 ["lang", "lb"],
                 "left_anti",
             )
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.lb") == F.col("b.lb"))
-        & (F.col("a.id") < F.col("b.id")),
-    )
-    jac = F.size(F.array_intersect("a.grams", "b.grams")) / F.size(
-        F.array_union("a.grams", "b.grams")
-    )
-    return (
-        pairs.select(
+    # explode_outer, not explode: plain explode injects an implicit
+    # `size(grams) > 0` filter that Catalyst pushes below the repartition
+    # exchange, evaluating the whole gram expression on the (single)
+    # parquet scan partition — once in the pushed Filter and AGAIN in the
+    # Project. Gram arrays are never empty (sequence(0, greatest(·,0)) has
+    # >= 1 element), and a null `g` could never match the equi-join anyway,
+    # so outer semantics are identical here.
+    postings = base.select(
+        "id",
+        "lang",
+        "lb",
+        F.size("grams").alias("ng"),
+        F.explode_outer("grams").alias("g"),
+    ).repartition(p, "lang", "lb", "g")
+    # ^ explicit exchange on the join key + MERGE hint below: both
+    # self-join aliases hash to the same partitioning, so Catalyst reuses
+    # ONE exchange (grams are tokenized/hashed once, not once per side)
+    # and the join needs no further shuffle. Without the hint the planner
+    # broadcasts one side (postings fit under the threshold at bench
+    # scale), which recomputes the gram expression per side and cannot
+    # reuse the exchange; at corpus scale the broadcast is impossible
+    # anyway, so SMJ is also the honest 100-TB shape.
+    a, b = postings.alias("a").hint("merge"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
             F.col("a.id").alias("src"),
             F.col("b.id").alias("dst"),
+            F.col("a.ng").alias("ng_a"),
+            F.col("b.ng").alias("ng_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # int/int division in the r2 form; long/long here — both promote to
+    # double with identical values, so round(·, 6) is bit-identical.
+    jac = F.col("inter") / (F.col("ng_a") + F.col("ng_b") - F.col("inter"))
+    return (
+        inter.select(
+            "src",
+            "dst",
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

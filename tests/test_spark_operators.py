@@ -885,6 +885,66 @@ def test_bm25_plan_broadcasts_and_never_shuffles_text(spark):
             assert "text" not in line, f"text column crosses a shuffle: {line}"
 
 
+def test_ngram_jaccard_inverted_index_matches_quadratic(spark):
+    """r6 internals change: ngram_jaccard_pairs now generates candidates via
+    an inverted-index join (shared-gram count == |A ∩ B| exactly) instead of
+    the block all-pairs array_intersect/array_union form. Pin the new path
+    against a brute-force quadratic recomputation over the same gram arrays
+    — pair set AND jaccard values must match bit-for-bit."""
+    from confluence2md_spark.operators.dedup import _word_ngrams, ngram_jaccard_pairs
+    import pytest
+    from pyspark.sql import functions as F
+
+    # one 'en' near-dup family + a disjoint doc in the same (en, 0) block
+    # (4 docs, at the cap), and a 5-doc 'de' block OVER the cap so the
+    # oversized-block drop is exercised too.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base, "en"),
+        (1, base + " iota", "en"),
+        (2, base + " iota kap", "en"),
+        (20, "disjoint text about watermark state stores", "en"),
+    ]
+    for i in range(10, 15):
+        rows.append((i, "eins zwei drei vier funf sechs sieben acht", "de"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, max_block_size=4).collect()
+    }
+
+    # brute force: same gram arrays, same blocks, same cap, python set math
+    grams = {
+        r["doc_id"]: (r["lang"], r["lb"], set(r["g"]))
+        for r in docs.select(
+            "doc_id",
+            "lang",
+            F.floor(F.length("text") / 64).alias("lb"),
+            _word_ngrams(F.col("text"), 3).alias("g"),
+        ).collect()
+    }
+    from collections import Counter
+
+    blocks = Counter((l, b) for l, b, _ in grams.values())
+    want = {}
+    ids = sorted(grams)
+    for i in ids:
+        for j in ids:
+            if i >= j or grams[i][:2] != grams[j][:2]:
+                continue
+            if blocks[grams[i][:2]] > 4:
+                continue
+            sa, sb = grams[i][2], grams[j][2]
+            jac = round(len(sa & sb) / len(sa | sb), 6)
+            if jac >= 0.2:
+                want[(i, j)] = jac
+    assert got == want and len(want) >= 3
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, threshold=0.0)
+
+
 def test_ngram_cluster_census_planted_families(spark):
     """Census over planted near-dup families: one 3-doc chain family and one
     2-doc pair, plus unrelated singletons that must NOT appear."""
