@@ -850,15 +850,32 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # r6 join order: reduce orders by the BUILDING customers FIRST, then
+    # broadcast the ~20%-selectivity remnant to the lineitem scan — the
+    # fact table streams through ONE small broadcast probe instead of a
+    # full-orders (1.5M-row) broadcast build. Inner-join reordering plus
+    # integer-cents sums keep the result bit-identical; the oracle SQL is
+    # untouched.
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
     rev = F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
         "revenue_cents"
     )
+    sel = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(sel), li.l_orderkey == sel.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev)
         .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
@@ -867,6 +884,14 @@ def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: examined and deliberately left in the round-5 shape. An A/B of a
+    # pre-folded dimension chain (orders ⋈ (cust ⋈ nation ⋈ region)
+    # broadcast first, then one narrow o_orderkey → (r_name, n_name)
+    # broadcast into the fact scan) measured CONSISTENTLY ~0.5 s slower
+    # warm at sf1.0 (3.7-4.1 s vs 3.1-3.8 s): the extra broadcast build
+    # chain costs more than the per-row probes it removes, because the
+    # planner already runs this query as scan → 4 broadcast probes with no
+    # fact-table shuffle.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")

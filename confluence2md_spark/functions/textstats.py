@@ -157,10 +157,94 @@ PORTABLE_MIX_A = 1_103_515_245  # large odd multiplier (glibc LCG constant)
 PORTABLE_MIX_B = 12_345
 
 
+def _polyhash_bulk(texts) -> "object":
+    """h ← (h·31 + codepoint) % MERSENNE31 folded left-to-right over every
+    character, vectorized over a whole batch of texts — bit-identical to
+    FINGERPRINT_SPARK (verified empirically: Spark `split(t, '')` yields
+    per-character tokens with no trailing empty, `ascii(c)` is the full
+    codepoint, and the arithmetic is pure int64 with no overflow:
+    h < 2^31, so h·31 + cp < 2^36). Same padded-matrix device as
+    operators/dedup._fnv1a_bulk: texts are decoded to codepoint rows via
+    utf-32-le (one C-level frombuffer per text), sorted longest-first so
+    each character position updates a contiguous prefix slice. Returns an
+    int64 ndarray; None/NaN inputs yield -1 sentinels the caller must remap
+    to null (the Spark expression is null-on-null)."""
+    import numpy as np
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    null_mask = np.fromiter((t is None for t in texts), dtype=bool, count=n)
+    cps = [
+        np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        for t in texts
+    ]
+    lens = np.fromiter((len(c) for c in cps), dtype=np.int64, count=n)
+    M = np.int64(MERSENNE31)
+    # cap the matrix width; rare over-cap texts continue scalar from the
+    # vectorized prefix (same fold, same order)
+    cap = 4096
+    maxlen = int(min(lens.max(), cap)) if n else 0
+    order = np.argsort(-np.minimum(lens, cap), kind="stable")
+    lens_s = np.minimum(lens, cap)[order]
+    buf = np.zeros((n, maxlen), dtype=np.int64)
+    for row, idx in enumerate(order.tolist()):
+        c = cps[idx]
+        if len(c):
+            buf[row, : min(len(c), cap)] = c[:cap]
+    cum = np.cumsum(np.bincount(lens_s, minlength=maxlen + 1))
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(maxlen):
+        k = n - int(cum[j])  # rows still active at char position j
+        if k == 0:
+            break
+        h[:k] = (h[:k] * 31 + buf[:k, j]) % M
+    out[order] = h
+    over = np.nonzero(lens > cap)[0]
+    for idx in over.tolist():
+        v = int(out[idx])
+        for cp in cps[idx][cap:].tolist():
+            v = (v * 31 + cp) % MERSENNE31
+        out[idx] = v
+    out[null_mask] = -1
+    return out
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, fp) rolling polynomial hash — bit-exact vs the oracle."""
-    return docs.select(
-        "doc_id", F.expr(FINGERPRINT_SPARK.format(t=text_col)).alias("fp")
+    """(doc_id, fp) rolling polynomial hash — bit-exact vs the oracle.
+
+    r6 execution: the per-character fold ran as a JVM `aggregate` over
+    `split(t, '')` — one UTF8String allocation per character (15M for the
+    bench corpus) on however many partitions the scan produced (ONE for a
+    single parquet file, so the whole query was single-core). Now a
+    repartition spreads the scan and a numpy Horner loop evaluates the
+    identical integer recurrence per Arrow batch (see _polyhash_bulk);
+    values are bit-equal because the arithmetic is exact int64 — pinned by
+    a differential test against the expression form."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fp = pd.array(_polyhash_bulk(pdf[text_col]), dtype="Int64")
+            fp[pd.isna(pdf[text_col])] = None
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fp": fp})
+
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", text_col)
+        .repartition(p)
+        .mapInPandas(_batches, schema="doc_id long, fp long")
+        # arrival-order contract: the expression form inherited the parquet
+        # scan order (doc_id-ascending in every sf fixture) and the driver
+        # hashes rows in arrival order; the repartition above scrambles it,
+        # so restore the same total order. repartition(1)+sortWithin, not
+        # orderBy: a range-sort's sampling job would re-execute the Python
+        # stage, and the result is only 8 bytes/doc.
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -106,14 +106,31 @@ def build_kg(
         # worse at 10^12-file scale) is defused BEFORE the Python stage —
         # but ONLY when the physical layout needs it: shuffling terabytes of
         # content that parquet splits already spread evenly would double the
-        # stage's IO for nothing. Both censuses run on content-free
-        # projections (repo derives from doc_id; the content column is never
-        # evaluated for them).
-        from .skew import hot_keys, layout_census, needs_rebalance
+        # stage's IO for nothing. The census runs on a content-free
+        # projection (repo derives from doc_id; the content column is never
+        # evaluated for it), fused into ONE job (r6: hot_keys + layout were
+        # three driver round-trips; the per-(partition, key) census derives
+        # all of it in one collect of a tiny relation).
+        from .skew import key_layout_census, needs_rebalance
 
-        hot = hot_keys(raw_files.select("repo"), "repo")
-        census = layout_census(raw_files.select("repo"), "repo", hot)
-        conf = raw_files.filter(is_confluence_mime_col(F.col("content")))
+        hot, census = key_layout_census(raw_files.select("repo"), "repo")
+        # B1 prefilter under a pushdown barrier (r6): when `content` is a
+        # DERIVED column (the synthetic corpus, or any view that computes
+        # payloads), Catalyst pushes a deterministic filter below the
+        # projection and inlines the full content expression into the
+        # predicate — the payload is then synthesized TWICE per row (once
+        # in the pushed filter / join condition, once in the project;
+        # measured 1.5 s -> 7-9 s on the synth stage at sf1.0×8). Wrapping
+        # the predicate in a trivially-true non-deterministic guard keeps
+        # it above the projection, so content is evaluated exactly once.
+        # For STORED corpora the barrier costs nothing: the scan-level
+        # pushdown it blocks would only re-read a materialized column.
+        conf = raw_files.filter(
+            F.when(
+                F.monotonically_increasing_id() >= 0,
+                is_confluence_mime_col(F.col("content")),
+            ).otherwise(F.lit(False))
+        )
         if needs_rebalance(census, num_partitions):
             conf = salted_repartition(
                 conf, "repo", num_partitions, hot=hot, salt_source="path"

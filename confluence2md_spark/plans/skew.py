@@ -50,6 +50,55 @@ def layout_census(probe_df: DataFrame, key: str, hot: list) -> dict:
     }
 
 
+def key_layout_census(
+    probe_df: DataFrame, key: str, hot_fraction: float = 0.05
+) -> tuple[list, dict]:
+    """hot_keys + layout_census fused into ONE job (r6): a per-(partition,
+    key) groupBy collects a tiny relation (n_partitions × |keys| rows for
+    low-cardinality keys like repo buckets) from which both the hot set and
+    the layout stats derive driver-side. The separate helpers above cost
+    three driver round-trips (count, per-key census, per-partition census)
+    over the same probe projection; at one fixed job-latency each, the fused
+    form is the difference between ~3 s and ~1 s of pure scheduling on the
+    bench corpus. Semantics are identical (same hot threshold, same stats)."""
+    agg = (
+        probe_df.groupBy(F.spark_partition_id().alias("pid"), F.col(key).alias("k"))
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in agg)
+    if total == 0:
+        return [], {
+            "n_partitions": 0,
+            "max_rows": 0,
+            "mean_rows": 0.0,
+            "hot_concentration": 0.0,
+            "total": 0,
+        }
+    thresh = max(1, int(total * hot_fraction))
+    by_key: dict = {}
+    by_pid: dict = {}
+    for r in agg:
+        by_key[r["k"]] = by_key.get(r["k"], 0) + r["count"]
+        by_pid[r["pid"]] = by_pid.get(r["pid"], 0) + r["count"]
+    hot = [k for k, c in by_key.items() if c > thresh]
+    hot_set = set(hot)
+    hot_by_pid: dict = {}
+    for r in agg:
+        if r["k"] in hot_set:
+            hot_by_pid[r["pid"]] = hot_by_pid.get(r["pid"], 0) + r["count"]
+    rows = list(by_pid.values())
+    total_hot = sum(hot_by_pid.values())
+    census = {
+        "n_partitions": len(rows),
+        "max_rows": max(rows),
+        "mean_rows": total / len(rows),
+        "hot_concentration": (max(hot_by_pid.values()) / total_hot) if total_hot else 0.0,
+        "total": total,
+    }
+    return hot, census
+
+
 def needs_rebalance(census: dict, num_partitions: int, skew_factor: float = 1.5) -> bool:
     """True when the existing layout would starve or skew the next stage:
     too few partitions, imbalanced partition sizes, or a hot key clustered

@@ -369,6 +369,66 @@ def test_layout_census_detects_clustering(spark, sf_dir):
     assert needs_rebalance(c_bad, 8)
 
 
+def test_fingerprint_numpy_matches_expression(spark, sf_dir):
+    """r6 internals change: text_fingerprint's per-character polynomial fold
+    moved from a JVM aggregate-over-split to a vectorized numpy Horner loop
+    (functions/textstats._polyhash_bulk). The arithmetic is exact int64, so
+    values AND arrival order must match the expression form bit-for-bit —
+    including nulls, empties, astral-plane unicode, and texts over the
+    vectorization width cap."""
+    from confluence2md_spark.functions.textstats import FINGERPRINT_SPARK, fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    adversarial = spark.createDataFrame(
+        [
+            (100001, "abc"),
+            (100002, ""),
+            (100003, None),
+            (100004, "a€b\U0001d11e"),
+            (100005, "x" * 9000),
+        ],
+        ["doc_id", "text"],
+    )
+    for frame in (docs, adversarial):
+        old = [
+            tuple(r)
+            for r in frame.select(
+                "doc_id", F.expr(FINGERPRINT_SPARK.format(t="text")).alias("fp")
+            )
+            .orderBy("doc_id")
+            .collect()
+        ]
+        new = [tuple(r) for r in fingerprint(frame).orderBy("doc_id").collect()]
+        assert old == new
+    # arrival order (the driver hashes rows in result order): doc_id asc
+    ids = [r["doc_id"] for r in fingerprint(docs).collect()]
+    assert ids == sorted(ids)
+
+
+def test_key_layout_census_matches_separate_helpers(spark, sf_dir):
+    """r6 internals change: the pipeline's S1 now derives hot keys AND the
+    layout census from ONE per-(partition, key) job. Pin it against the
+    separate hot_keys + layout_census helpers on both a balanced and a
+    clustered layout — hot set and every census stat must agree."""
+    from confluence2md_spark.plans.skew import (
+        key_layout_census,
+        layout_census,
+        needs_rebalance,
+    )
+    from confluence2md_spark.sources.corpus import synth_raw_files
+
+    raw = synth_raw_files(spark, sf_dir)
+    for probe in (raw.select("repo"), raw.repartition(8, "repo").select("repo")):
+        hot, census = key_layout_census(probe, "repo")
+        h2 = hot_keys(probe, "repo")
+        c2 = layout_census(probe, "repo", h2)
+        assert sorted(hot) == sorted(h2)
+        assert census == c2
+        assert needs_rebalance(census, census["n_partitions"]) == needs_rebalance(
+            c2, c2["n_partitions"]
+        )
+
+
 # ----------------------------------------------------------- multimodal ---
 
 def test_multimodal_plumbing(spark, sf_dir):
