@@ -952,19 +952,27 @@ def _parts_in_lineitem_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # r6: rank-1-per-key as a partially-aggregatable min-over-struct instead
+    # of row_number over a sorted window — the hash aggregate combines
+    # map-side and never sorts the 1.5M-row partition contents (measured
+    # 1.6-1.8 -> 1.0-1.1 s at sf1.0). Equivalence: min of
+    # (-o_totalprice, o_orderkey) is exactly "max price, ties -> min
+    # orderkey" (the window's ORDER BY), double negation is exact, and the
+    # output keys are unique so the final o_custkey sort is the same total
+    # order. Ordered-collect equality pinned in tests.
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
+    s = F.min(
+        F.struct(
+            (-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k")
+        )
+    ).alias("s")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        orders.groupBy("o_custkey")
+        .agg(s)
         .select(
             "o_custkey",
-            "o_orderkey",
-            _CENTS(F.col("o_totalprice")).alias("top_price_cents"),
+            F.col("s.k").alias("o_orderkey"),
+            _CENTS(-F.col("s.np")).alias("top_price_cents"),
         )
         .orderBy("o_custkey")
     )
@@ -1619,8 +1627,10 @@ def _text_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/winnow.py): MOSS local
     fingerprinting with the leftmost-min rule; ~20 fingerprints/doc at
-    sf0.01 (density ~= the paper's 2/(w+1) bound)."""
-    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    sf0.01 (density ~= the paper's 2/(w+1) bound). ordered=True here (the
+    driver hashes rows in arrival order); the operator default is unordered
+    (r6 — no in-operator global sort anywhere)."""
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), ordered=True)
 
 
 def _text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

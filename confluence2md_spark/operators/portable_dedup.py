@@ -107,10 +107,15 @@ def minhash_portable_pairs(
         ]
     )
     # band key = the r raw minima joined as a string: portable, and join
-    # equality on it is exactly equality of the r-tuple
+    # equality on it is exactly equality of the r-tuple.
+    # r6 (ADVICE r5): band rows carry ONLY (doc_id, band_idx, band_key) —
+    # the shingle arrays no longer ride both sides of the banded self-join
+    # (previously corpus-size × bands array bytes through the exchange);
+    # they re-enter against the surviving (src, dst) pairs via two
+    # candidate-sized join-backs, the same shape linking.py uses for
+    # word-ngram documents. Pair set and scores are unchanged.
     signed = shingled.withColumn("sig", sig).select(
         "doc_id",
-        "hs",
         F.posexplode(
             F.array(
                 *[
@@ -131,10 +136,16 @@ def minhash_portable_pairs(
         .select(
             F.col("a.doc_id").alias("src"),
             F.col("b.doc_id").alias("dst"),
-            F.col("a.hs").alias("ha"),
-            F.col("b.hs").alias("hb"),
         )
         .dropDuplicates(["src", "dst"])
+        .join(
+            shingled.select(F.col("doc_id").alias("src"), F.col("hs").alias("ha")),
+            "src",
+        )
+        .join(
+            shingled.select(F.col("doc_id").alias("dst"), F.col("hs").alias("hb")),
+            "dst",
+        )
     )
     inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
     out = (

@@ -50,14 +50,20 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = K_GRAM,
     w: int = W_WINDOW,
-    ordered: bool = True,
+    ordered: bool = False,
 ) -> DataFrame:
-    """(doc_id, pos, fp): winnowing-selected fingerprints, ordered by
-    (doc_id, pos). `pos` is the 0-based gram index of the selected gram.
-    Documents with fewer than k + w - 1 tokens (no full window) emit no
-    rows — mirrored by the twin's range() bounds. `ordered=False` skips
-    the terminal total order (driver arrival-order contract only — its
-    range-sampling job re-executes the plan, docs/SCALE.md trap)."""
+    """(doc_id, pos, fp): winnowing-selected fingerprints; `ordered=True`
+    adds a total (doc_id, pos) order. `pos` is the 0-based gram index of
+    the selected gram. Documents with fewer than k + w - 1 tokens (no full
+    window) emit no rows — mirrored by the twin's range() bounds.
+
+    r6: the default flipped to `ordered=False`, matching containment /
+    overlap / portable-dedup (VERDICT r5): a global orderBy over a
+    corpus-sized (~20 fps/doc) relation is a sort the production caller
+    must opt INTO, not remember to opt out of — and its range-sampling job
+    re-executes the plan (docs/SCALE.md trap). The driver arrival-order
+    contract lives in the __spark_entry__ wrapper, which passes
+    ordered=True explicitly."""
     toks = F.split(F.col(text_col), " ")
     gram_str = (
         f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1), "

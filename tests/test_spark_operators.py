@@ -369,6 +369,50 @@ def test_layout_census_detects_clustering(spark, sf_dir):
     assert needs_rebalance(c_bad, 8)
 
 
+def test_window_top_order_min_struct_matches_row_number(spark):
+    """r6 internals change: window_top_order_per_customer computes rank-1
+    per customer as min(struct(-price, orderkey)) instead of row_number
+    over a sorted window. Pin the aggregate form against the window form on
+    a fixture WITH price ties (the window's tiebreak is orderkey asc)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 10, 100.0),
+        (1, 11, 250.5),
+        (1, 12, 250.5),  # tie on max price -> orderkey 11 must win
+        (2, 20, 50.0),
+        (3, 30, 0.07),
+        (3, 31, 0.07),
+        (3, 29, 0.07),  # three-way tie -> orderkey 29
+    ]
+    orders = spark.createDataFrame(rows, ["o_custkey", "o_orderkey", "o_totalprice"])
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    via_window = [
+        tuple(r)
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_custkey", "o_orderkey", cents(F.col("o_totalprice")).alias("c"))
+        .orderBy("o_custkey")
+        .collect()
+    ]
+    s = F.min(
+        F.struct((-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k"))
+    ).alias("s")
+    via_agg = [
+        tuple(r)
+        for r in orders.groupBy("o_custkey")
+        .agg(s)
+        .select("o_custkey", F.col("s.k"), cents(-F.col("s.np")).alias("c"))
+        .orderBy("o_custkey")
+        .collect()
+    ]
+    assert via_window == via_agg
+    assert via_agg[0][1] == 11 and via_agg[2][1] == 29
+
+
 def test_fingerprint_numpy_matches_expression(spark, sf_dir):
     """r6 internals change: text_fingerprint's per-character polynomial fold
     moved from a JVM aggregate-over-split to a vectorized numpy Horner loop
