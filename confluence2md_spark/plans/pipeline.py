@@ -116,13 +116,16 @@ def build_kg(
         hot, census = key_layout_census(raw_files.select("repo"), "repo")
         # B1 prefilter under a pushdown barrier (r6): when `content` is a
         # DERIVED column (the synthetic corpus, or any view that computes
-        # payloads), Catalyst pushes a deterministic filter below the
-        # projection and inlines the full content expression into the
-        # predicate — the payload is then synthesized TWICE per row (once
-        # in the pushed filter / join condition, once in the project;
-        # measured 1.5 s -> 7-9 s on the synth stage at sf1.0×8). Wrapping
-        # the predicate in a trivially-true non-deterministic guard keeps
-        # it above the projection, so content is evaluated exactly once.
+        # payloads), Catalyst pushes the deterministic filter below the
+        # spreading exchange and inlines the full content expression into
+        # the predicate — at the bench corpus that lands it in the
+        # single-partition crossJoin stage, so the whole detect-over-
+        # synthesized-content pass runs on ONE core and the payload is
+        # synthesized again in the projection above (measured 1.5 s ->
+        # 7-9 s on the synth+filter step at sf1.0×8). Wrapping the
+        # predicate in a trivially-true non-deterministic guard keeps it
+        # above the exchange — evaluated data-parallel in the same fused
+        # stage as the conversion (2.2-2.8 s; plans/r06/kg_pages_stage_*).
         # For STORED corpora the barrier costs nothing: the scan-level
         # pushdown it blocks would only re-read a materialized column.
         conf = raw_files.filter(

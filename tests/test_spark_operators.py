@@ -369,6 +369,42 @@ def test_layout_census_detects_clustering(spark, sf_dir):
     assert needs_rebalance(c_bad, 8)
 
 
+def test_numpy_minhash_signatures_match_jvm(spark, sf_dir):
+    """r6 internals change: _with_numpy_signatures now computes one flat
+    (total_shingles, k) permutation pass with per-row minimum.reduceat
+    instead of a per-row Python loop. The docstring's bit-identical claim
+    vs minhash_signature_col gets its differential test: same corpus
+    shingle sets + an empty-shingle row, exact signature equality."""
+    from confluence2md_spark.operators.linking import (
+        _with_numpy_signatures,
+        minhash_signature_col,
+        shingle_hashes_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        shingle_hashes_col(F.col("text"), mode="word_ngrams").alias("sh"),
+    )
+    adv = spark.createDataFrame(
+        [(100001, ""), (100002, "one two three four five")], ["id", "t"]
+    ).select("id", shingle_hashes_col(F.col("t"), mode="word_ngrams").alias("sh"))
+    for frame in (sh, adv):
+        jvm = {
+            r["id"]: list(r["sig"])
+            for r in frame.select(
+                "id", minhash_signature_col(F.col("sh")).alias("sig")
+            ).collect()
+        }
+        np_ = {
+            r["id"]: list(r["sig"])
+            for r in _with_numpy_signatures(frame, k=32, seed=42)
+            .select("id", "sig")
+            .collect()
+        }
+        assert jvm == np_ and len(jvm) > 0
+
+
 def test_window_top_order_min_struct_matches_row_number(spark):
     """r6 internals change: window_top_order_per_customer computes rank-1
     per customer as min(struct(-price, orderkey)) instead of row_number
