@@ -884,30 +884,40 @@ def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r6: examined and deliberately left in the round-5 shape. An A/B of a
-    # pre-folded dimension chain (orders ⋈ (cust ⋈ nation ⋈ region)
-    # broadcast first, then one narrow o_orderkey → (r_name, n_name)
-    # broadcast into the fact scan) measured CONSISTENTLY ~0.5 s slower
-    # warm at sf1.0 (3.7-4.1 s vs 3.1-3.8 s): the extra broadcast build
-    # chain costs more than the per-row probes it removes, because the
-    # planner already runs this query as scan → 4 broadcast probes with no
-    # fact-table shuffle.
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
+    # r6: aggregate the fact table BEFORE any join (guide §2.3 "aggregate
+    # before you shuffle"): per-order integer-cents partial sums reduce the
+    # 6M-row lineitem to 1.5M narrow rows ahead of the orders join, so no
+    # full-orders broadcast is ever built and the fact rows cross one
+    # ~36 MB exchange with map-side combine instead of probing four
+    # broadcasts. Integer sums re-associate exactly (sum of per-order
+    # bigint sums == flat bigint sum; n_items = sum of per-order counts),
+    # so the result is bit-identical — pinned by an ordered-collect A/B
+    # (25/25 rows, 2.7-3.4 -> 1.9-2.7 s warm at sf1.0). A pre-folded
+    # dimension broadcast chain WITHOUT the fact pre-aggregation was also
+    # measured and rejected (~0.5 s slower than r5's shape).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pre = li.groupBy("l_orderkey").agg(
+        F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rc"),
+        F.count(F.lit(1)).alias("ni"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        pre.join(orders, pre.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(_CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue_cents"
-            ),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rc").alias("revenue_cents"),
+            F.sum("ni").alias("n_items"),
         )
         .orderBy("r_name", "n_name")
     )

@@ -50,7 +50,8 @@ def main() -> int:
          "canonical rewrite: the broadcast side is the FILTERED alias-only "
          "map (canon_id != doc_id), not the full per-page map"),
         ("dedup_ngram_jaccard",
-         "blocked all-pairs with the max_block_size census anti-join"),
+         "inverted-index posting join (r6: shared-gram count = exact "
+         "intersection) with the max_block_size census anti-join"),
         ("ann_brute_topk",
          "broadcast query side (corpus never shuffles) + window group limit"),
         ("kg_mention_resolution",
