@@ -309,7 +309,19 @@ def minhash_near_dup_pairs(
     """(src, dst, jaccard) near-dup candidates over word-3-gram-shingled
     text via MinHash/LSH (rows-only oracle: permutation hashes aren't
     portable SQL). Word n-grams, not char n-grams: char shingles saturate on
-    repetitive corpora and degrade LSH to all-pairs."""
+    repetitive corpora and degrade LSH to all-pairs.
+
+    r6: partitioning derives from the DOC count, not the cluster width —
+    the canon_map lesson (pipeline.py p_small) applied here: the LSH chain
+    is ~10 small stages, and fanning 50k docs across 32 partitions costs
+    more in task scheduling than the work itself (measured 1.8-2.2 s at
+    width-32 vs 1.0-1.1 s at 4 partitions, sf1.0 local[32]). ~25k docs per
+    partition, clamped to [4, cluster width]; a corpus large enough to
+    clamp at the width gets full parallelism, and the sizing count is a
+    metadata-only job for parquet inputs. The pair set is partitioning-
+    independent (deterministic hashes, count-based caps)."""
+    n = docs.count()
+    p = docs.sparkSession.sparkContext.defaultParallelism
     ents = docs.select(F.col("doc_id"), F.col(text_col).alias("t"))
     return lsh_candidate_pairs(
         ents,
@@ -320,6 +332,7 @@ def minhash_near_dup_pairs(
         threshold=threshold,
         mode="word_ngrams",
         sig_engine="numpy",  # long shingle sets: one matmul beats k JVM scans
+        num_partitions=max(4, min(p, n // 25_000 + 1)),
     )
 
 
